@@ -36,12 +36,26 @@ HUB_GROUP = "Obsidian Tiger"          # appears in ~30% of pages
 HUB_RATE = 0.30
 
 # NER-only surfaces: found by the (deterministic) NER tagger but NOT by the
-# dictionary scan -> survive residue filtering -> exercised by linking L2-L4.
+# dictionary scan -> survive residue filtering (N5) -> exercise linking L2-L4.
+# The surfaces below are emitted verbatim; they link (or fail to link)
+# semantically via the stub embedder.
 NER_ONLY_SURFACES = [
-    "G 0103",            # variant-links to group Quiet Lynx (space->removed)
+    "G 0103",            # residue that links nowhere (negative case)
     "Obsidian Tigr",     # semantic-links to the hub group (typo)
-    "S 0002",            # variant-links to software Mimikatz id
+    "S 0002",            # residue that links nowhere (negative case)
     "Crimson Mantiss",   # semantic near-dup of Crimson Mantis
+]
+
+# Surfaces the NER "service" recognizes but *normalizes* to its own
+# dictionary form (like the reference's Lookup_Table mode): the emitted
+# value, not the surface, is what enters the NER buckets — so it can be a
+# catalog variant even though the text never contains that variant.  These
+# exercise the L2 (same-label) and L3 (cross-label) variant-link paths.
+NER_NORMALIZED_SURFACES = [
+    "the Mantids",       # -> "mantis-crew"   (alias of Crimson Mantis, group)
+    "Serpent Crew",      # -> "Azure Serpent" (group name)
+    "the lynxes",        # -> "lynx-team"     (alias of Quiet Lynx, group)
+    "hound utility",     # -> "BloodHound"    (software name, via technique bucket)
 ]
 
 _FILLER = [
@@ -169,6 +183,13 @@ def generate_page(i: int, seed: int = 42) -> dict:
         paras.append(
             f"Earlier drafts referenced the actor as {rng.choice(NER_ONLY_SURFACES)} "
             "before naming conventions were settled."
+        )
+
+    # --- NER-normalized surfaces (service emits its own dictionary form)
+    if rng.random() < 0.35:
+        paras.append(
+            f"Regional teams informally call the operators {rng.choice(NER_NORMALIZED_SURFACES)} "
+            "in internal tickets."
         )
 
     # --- filler prose
