@@ -1,0 +1,109 @@
+"""BM25 relevance scoring — A3/A4 in SURVEY.md, fully DataFrame-native.
+
+The reference makes two full passes over the corpus + hit files
+(src/data_prep/statistics.py:21-77): pass 1 builds doc lengths, term
+frequencies and document frequencies; pass 2 rewrites every hit with
+
+    idf   = ln((m - n + 0.5) / (n + 0.5) + 1)                 (:69)
+    score = round(idf * f*(k1+1) / (f + k1*(1-b+b*dl/avgdl)), 4)  (:70-71)
+
+with k1=1.5, b=0.75, key = lower(original_id or name) (:46), and
+m = number of corpus documents, dl = \\b\\w+\\b token count of the doc.
+
+Spark mapping: dl is a native expression over docs; tf and df are classic
+partial+final hash aggregations; (m, avgdl) is a 1-row aggregate broadcast
+back via crossJoin — so the whole thing is two shuffles (tf keyed by
+(category,url,key); df keyed by (category,key)) and broadcast joins back.
+No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, BM25_LABELS
+
+# Java-regex twin of the reference tokenizer r"\b\w+\b" (statistics.py:28).
+_TOKEN_PATTERN = r"\b\w+\b"
+
+
+def doc_lengths(docs: DataFrame) -> DataFrame:
+    """docs(url, text) -> (url, dl): token count per document."""
+    return docs.select(
+        "url",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(_TOKEN_PATTERN), F.lit(0))).alias("dl"),
+    )
+
+
+def add_bm25(mentions: DataFrame, docs: DataFrame,
+             k1: float = BM25_K1, b: float = BM25_B,
+             labels: list[str] | None = None) -> DataFrame:
+    """Attach ``bm25_score`` to mention rows of the scored labels.
+
+    Rows of other categories (cve, ...) pass through with NULL score,
+    mirroring the reference which only scores BM25_LABELS
+    (statistics.py:36).
+    """
+    labels = labels or BM25_LABELS
+
+    dls = doc_lengths(docs)
+
+    # 1-row corpus stats; broadcast-crossjoined (never a driver collect, so
+    # the plan stays lazy and resumable).
+    stats = dls.agg(
+        F.count("*").alias("m"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    scored = mentions.filter(F.col("category").isin(labels))
+    passthrough = mentions.filter(~F.col("category").isin(labels))
+
+    keyed = scored.withColumn(
+        "bm25_key", F.lower(F.coalesce(F.col("original_id"), F.col("name"), F.lit(""))))
+
+    # A3: term frequency per (category, url, key) via a window (one shuffle,
+    # no self-join); doc frequency per (category, key) via agg + shuffle
+    # join.  tf counts hit entries after dedup, exactly like the reference
+    # counting entries in the deduped hit files (statistics.py:37-40).
+    # Neither side is broadcast: both scale with the data; only the 1-row
+    # stats DF is.
+    from pyspark.sql import Window
+    w_tf = Window.partitionBy("category", "url", "bm25_key")
+    keyed = keyed.withColumn("f", F.count("*").over(w_tf))
+
+    df_ = (keyed.groupBy("category", "bm25_key")
+           .agg(F.countDistinct("url").alias("n")))
+
+    out = (
+        keyed
+        .join(df_, ["category", "bm25_key"], "left")
+        .join(dls, ["url"], "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dl", F.coalesce(F.col("dl"), F.col("avgdl")))
+        .withColumn(
+            "idf",
+            F.log((F.col("m") - F.col("n") + 0.5) / (F.col("n") + 0.5) + 1.0))
+        .withColumn(
+            "denom",
+            F.col("f") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        .withColumn(
+            "bm25_score",
+            F.when(F.col("denom") != 0.0,
+                   F.round(F.col("idf") * (F.col("f") * (k1 + 1.0)) / F.col("denom"), 4))
+            .otherwise(F.lit(0.0)))
+        .drop("bm25_key", "f", "n", "dl", "m", "avgdl", "idf", "denom")
+    )
+
+    return out.unionByName(
+        passthrough.withColumn("bm25_score", F.lit(None).cast("double")))
+
+
+def bm25_rank(scored: DataFrame) -> DataFrame:
+    """Per (url, category) descending-score rank — the Spark form of the
+    reference's per-label sort (statistics.py:72-73, A4)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("url", "category")
+         .orderBy(F.desc("bm25_score"), F.asc("index")))
+    return scored.withColumn("bm25_rank", F.row_number().over(w))

@@ -1,0 +1,140 @@
+"""Stage 4 — canonicalization via distributed connected components.
+
+The reference collapses surface forms to BRON ``original_id`` per label
+(merge key at ner.py:297-301) and its alias enrichers
+(mitre_groups_to_aliases.py, malpedia_groups_to_aliases.py) build the alias
+graph that links group ids to shared alias strings.  At 10^12-document
+scale, cross-document canonicalization over that alias graph is a
+connected-components job (north_rule: "connected-component canonicalization
+via iterative hash-partitioned self-joins with salted skew handling").
+
+``connected_components`` is a general operator: iterative min-label
+propagation over hash-partitioned joins.  Each round is
+
+    comp[v] <- min(comp[v], min over neighbours' comp)
+
+followed by pointer jumping (comp <- comp(comp)), converging in
+O(log diameter) rounds — the same asymptotics as large-star/small-star.
+Skew handling:
+  * the neighbour-min aggregation is algebraic (min), so map-side partial
+    aggregation collapses hub keys before the shuffle;
+  * the propagation join enables AQE skew-join splitting, and a ``salt``
+    knob explicitly splits hub destinations: edges are salted into
+    ``n_salts`` sub-keys, aggregated per (dst, salt) first, then per dst —
+    the classic two-phase salted aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame,
+                         src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 25,
+                         n_salts: int = 8) -> DataFrame:
+    """edges(src, dst) -> (id, component); component = min id in component.
+
+    Ids are strings.  The edge list is treated as undirected.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    comp = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+
+    for _ in range(max_iter):
+        # neighbour minimum, two-phase salted: (b, salt) -> b
+        nbr = (
+            sym.join(comp.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "component",
+                    F.pmod(F.crc32(F.col("a")), F.lit(n_salts)).alias("salt"))
+            .groupBy("id", "salt").agg(F.min("component").alias("component"))
+            .groupBy("id").agg(F.min("component").alias("nbr_min"))
+        )
+        new_comp = (
+            comp.join(nbr, "id", "left")
+            .select("id", F.least("component",
+                                  F.coalesce("nbr_min", "component"))
+                    .alias("component"))
+        )
+        # Pointer jumping (path halving): component <- component(component).
+        # Combined with the one-hop neighbour min this converges in
+        # O(log diameter) rounds instead of O(diameter).
+        new_comp = (
+            new_comp.alias("x")
+            .join(new_comp.alias("y").withColumnRenamed("id", "cid"),
+                  F.col("x.component") == F.col("cid"), "left")
+            .select(F.col("x.id").alias("id"),
+                    F.coalesce(F.col("y.component"), F.col("x.component"))
+                    .alias("component"))
+        )
+        # Convergence check; localCheckpoint truncates the growing lineage
+        # so each round's plan stays O(1).
+        new_comp = new_comp.localCheckpoint(eager=True)
+        changed = (
+            new_comp.alias("n").join(comp.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def alias_edges(layer_map: dict[str, list[dict]]) -> list[tuple[str, str]]:
+    """Per-label alias-graph edges: ``label:original_id`` <-> every surface
+    variant node ``label:~surface``.  Two catalog nodes that share a surface
+    form land in one component (e.g. a shared alias between two groups)."""
+    from ..functions.variants import generate_variants
+
+    edges = []
+    for label, nodes in layer_map.items():
+        if label in ("cpe_versioned", "cpe_unversioned"):
+            continue
+        for node in nodes:
+            oid = node.get("original_id")
+            if not oid:
+                continue
+            surfaces: set[str] = set()
+            for field in ("name", "original_id"):
+                if node.get(field):
+                    surfaces |= generate_variants(node[field])
+            if label == "group":
+                for alias_field in ("MITRE_aliases", "malpedia_aliases"):
+                    for alias in node.get(alias_field, []):
+                        surfaces |= generate_variants(alias)
+            for s in surfaces:
+                edges.append((f"{label}:{oid}", f"{label}:~{s}"))
+    return edges
+
+
+def canonical_map(spark, layer_map: dict[str, list[dict]],
+                  max_iter: int = 25) -> DataFrame:
+    """(label, original_id, canon_id): canon_id = lexicographically-min
+    original_id among alias-connected nodes of the same label."""
+    edges = spark.createDataFrame(alias_edges(layer_map), "src string, dst string")
+    comp = connected_components(edges, max_iter=max_iter)
+
+    ids = (
+        comp.filter(~F.col("id").contains(":~"))
+        .withColumn("label", F.split_part("id", F.lit(":"), F.lit(1)))
+        .withColumn("original_id", F.substring(
+            F.col("id"), F.length("label") + 2, 10_000))
+    )
+    canon = (
+        ids.groupBy("component", "label")
+        .agg(F.min("original_id").alias("canon_id"))
+    )
+    return (
+        ids.join(canon, ["component", "label"])
+        .select("label", "original_id", "canon_id")
+    )

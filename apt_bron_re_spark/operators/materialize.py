@@ -1,0 +1,104 @@
+"""Stage 5 — triple materialization (A10 / S10 in SURVEY.md).
+
+Edge shape per the reference's output spec (README.md:47-58):
+``{from, to, source[], justification}`` — the rebuild adds a typed ``pred``
+(config.PREDICATE_MAP) and a confidence ``score``.
+
+Pipeline:
+  1. per-document *evidence* rows: one row per (url, label, canon_id) with
+     the best score + sentence (mentions + residual links, canonicalized);
+  2. doc-level co-occurrence pairing restricted to the typed label pairs
+     (no quadratic all-pairs blowup);
+  3. groupBy (subj, pred, obj) with collect_set(url) as sources — the
+     partial+final aggregation Catalyst already optimizes.
+
+Scale notes: the pairing self-join is keyed on url (bounded fan-out: a doc
+has few entities); the hub-entity skew shows up in the final groupBy,
+which is algebraic (set-union/max) and map-side combined; AQE handles the
+rest.  The output table should be partitioned by ``pred`` (S10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PREDICATE_MAP
+
+
+def evidence(mentions_linked: DataFrame,
+             residual_links: DataFrame | None,
+             canon: DataFrame | None) -> DataFrame:
+    """(url, label, canon_id, score, sentence): best evidence per entity
+    per document.  CVE mentions (value, no original_id) use the CVE id."""
+    m = mentions_linked.select(
+        "url",
+        F.col("category").alias("label"),
+        F.coalesce("original_id", "value").alias("entity_id"),
+        F.coalesce("ner_score", F.lit(0.0)).alias("score"),
+        "sentence",
+    )
+    if residual_links is not None:
+        m = m.unionByName(residual_links.select(
+            "url",
+            F.col("category").alias("label"),
+            F.col("original_id").alias("entity_id"),
+            F.coalesce("ner_score", F.lit(0.0)).alias("score"),
+            F.lit(None).cast("string").alias("sentence"),
+        ))
+
+    if canon is not None:
+        m = (
+            m.join(F.broadcast(canon),
+                   (m.label == canon.label) & (m.entity_id == canon.original_id),
+                   "left")
+            .select(m.url, m.label,
+                    F.coalesce(canon.canon_id, m.entity_id).alias("canon_id"),
+                    m.score, m.sentence)
+        )
+    else:
+        m = m.withColumnRenamed("entity_id", "canon_id")
+
+    return (
+        m.groupBy("url", "label", "canon_id")
+        .agg(F.max("score").alias("score"),
+             F.max(F.struct(F.col("score").alias("s"), "sentence"))
+              .getField("sentence").alias("sentence"))
+    )
+
+
+def materialize_triples(ev: DataFrame,
+                        predicate_map: dict | None = None) -> DataFrame:
+    """evidence -> triples(subj, pred, obj, sources, justification, score)."""
+    predicate_map = predicate_map or PREDICATE_MAP
+    spark = ev.sparkSession
+    preds = spark.createDataFrame(
+        [(a, b, p) for (a, b), p in predicate_map.items()],
+        "subj_label string, obj_label string, pred string")
+
+    a = ev.select(F.col("url"), F.col("label").alias("subj_label"),
+                  F.col("canon_id").alias("subj"),
+                  F.col("score").alias("subj_score"),
+                  F.col("sentence").alias("justification"))
+    b = ev.select(F.col("url"), F.col("label").alias("obj_label"),
+                  F.col("canon_id").alias("obj"),
+                  F.col("score").alias("obj_score"))
+
+    pairs = (
+        a.join(b, "url")
+        .join(F.broadcast(preds), ["subj_label", "obj_label"])
+        .filter(F.col("subj") != F.col("obj"))
+        .withColumn("pair_score",
+                    F.least(F.greatest("subj_score", F.lit(0.0)),
+                            F.greatest("obj_score", F.lit(0.0))))
+    )
+
+    return (
+        pairs.groupBy("subj", "pred", "obj")
+        .agg(
+            F.sort_array(F.collect_set("url")).alias("sources"),
+            F.max(F.struct(F.col("pair_score").alias("s"), "justification"))
+             .getField("justification").alias("justification"),
+            F.round(F.max("pair_score"), 4).alias("score"),
+        )
+    )

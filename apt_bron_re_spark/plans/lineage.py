@@ -1,0 +1,75 @@
+"""Per-stage, per-partition lineage + metrics — the resume mechanism.
+
+The reference resumes by skipping files whose outputs already exist
+(convert_reports.py:30-32, download_aptnotes.py:42-43 — S5 in SURVEY.md).
+The rebuild replaces that with a ``_lineage`` table: every completed stage
+appends one row per output bucket
+
+    (stage, fingerprint, bucket, n_rows, wall_s, completed_at)
+
+plus a stage-summary row (bucket = -1).  A stage re-runs only when no
+summary row matches its input fingerprint — re-running is always safe
+because stage outputs are idempotent overwrites of a deterministic
+function of their inputs.
+
+Fingerprints are content-stable hashes of the stage's configuration and
+input fingerprint chain, so changing the catalog, the corpus, or an
+upstream stage invalidates exactly the downstream stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = ("stage string, fingerprint string, bucket int, "
+                  "n_rows long, wall_s double, completed_at double")
+
+
+def fingerprint(*parts) -> str:
+    """Stable hash of arbitrary JSON-serializable parts."""
+    payload = json.dumps(parts, sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class LineageLog:
+    def __init__(self, spark: SparkSession, base_dir: str | Path) -> None:
+        self.spark = spark
+        self.path = str(Path(base_dir) / "_lineage")
+
+    def _read(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+    def is_complete(self, stage: str, fp: str) -> bool:
+        df = self._read()
+        if df is None:
+            return False
+        return (df.filter((F.col("stage") == stage)
+                          & (F.col("fingerprint") == fp)
+                          & (F.col("bucket") == -1)).limit(1).count() > 0)
+
+    def record(self, stage: str, fp: str, out: DataFrame,
+               wall_s: float, bucket_col: str | None = "pbucket") -> None:
+        """Append per-bucket row counts + the stage summary row."""
+        now = time.time()
+        rows = []
+        if bucket_col and bucket_col in out.columns:
+            per_bucket = (out.groupBy(bucket_col)
+                          .agg(F.count("*").alias("n")).collect())
+            rows = [(stage, fp, int(r[bucket_col]), int(r["n"]), wall_s, now)
+                    for r in per_bucket]
+        total = sum(r[3] for r in rows) if rows else out.count()
+        rows.append((stage, fp, -1, int(total), wall_s, now))
+        (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(self.path))
+
+    def metrics(self) -> DataFrame | None:
+        return self._read()

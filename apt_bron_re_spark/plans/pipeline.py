@@ -1,0 +1,135 @@
+"""The 5-stage KG-construction pipeline over staged parquet tables.
+
+    pages -> extract -> mention -> link -> canonicalize -> materialize
+
+Each stage writes an idempotent parquet table under ``base_dir`` (bucketed
+by ``bucket = crc32(url) % n_buckets`` — the parquet stand-in for Iceberg's
+``bucket(url)`` partition transform; a production deployment swaps the
+writer for ``df.writeTo(...).partitionedBy(bucket(N, "url"))`` with zero
+logic changes) and appends per-bucket lineage rows.  ``run(resume=True)``
+skips stages whose fingerprint already completed — kill the job at any
+stage boundary and re-running continues where it stopped.
+
+Stage-table layout (versioned stage tables replace the reference's
+in-place file rewrites — SURVEY.md §3):
+    docs/            url, text, bucket
+    mentions/        union table from the mention stage (+ bucket)
+    linked/          mention rows + bm25 + link annotations (+ bucket)
+    links_residual/  links with no dictionary mention
+    canon/           (label, original_id, canon_id)
+    triples/         subj, pred, obj, sources[], justification, score
+                     partitioned by pred (S10)
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import NER_MATCH_SCORE, SIM_THRESHOLD
+from ..operators import bm25, canonicalize, linking, materialize, mention
+from ..operators.extract import extract_docs
+from .lineage import LineageLog, fingerprint
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession,
+                 layer_map: dict[str, list[dict]],
+                 base_dir: str | Path,
+                 n_buckets: int = 32,
+                 semantic: bool = True,
+                 sim_threshold: float = SIM_THRESHOLD,
+                 lang: str | None = "en") -> None:
+        self.spark = spark
+        self.layer_map = layer_map
+        self.base = Path(base_dir)
+        self.n_buckets = n_buckets
+        self.semantic = semantic
+        self.sim_threshold = sim_threshold
+        self.lang = lang
+        self.log = LineageLog(spark, base_dir)
+        self._catalog_fp = fingerprint(layer_map)
+
+    # -- helpers ----------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return str(self.base / name)
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        # "pbucket" (partition bucket) — distinct from the NER residue
+        # "bucket" column of the mention stage table.
+        return df.withColumn(
+            "pbucket", F.pmod(F.crc32(F.col("url")), F.lit(self.n_buckets)).cast("int"))
+
+    def _write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def _read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def _run_stage(self, stage: str, fp: str, build, name: str,
+                   partition_by: list[str] | None = None,
+                   resume: bool = True) -> DataFrame:
+        if resume and self.log.is_complete(stage, fp):
+            return self._read(name)
+        t0 = time.time()
+        df = build()
+        self._write(df, name, partition_by)
+        out = self._read(name)
+        self.log.record(stage, fp, out, time.time() - t0)
+        return out
+
+    # -- stages -----------------------------------------------------------
+    def run(self, pages: DataFrame, resume: bool = True) -> DataFrame:
+        fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
+        docs = self._run_stage(
+            "extract", fp0,
+            lambda: self._bucketed(extract_docs(pages, self.lang)),
+            "docs", partition_by=["pbucket"], resume=resume)
+
+        fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention")
+        stage2 = self._run_stage(
+            "mention", fp1,
+            lambda: self._bucketed(
+                mention.detect_mentions(docs.drop("pbucket"), self.layer_map)),
+            "mentions", partition_by=["pbucket"], resume=resume)
+
+        mentions = mention.mentions_view(stage2)
+        residues = mention.residue_view(stage2)
+
+        fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
+
+        def build_linked() -> DataFrame:
+            scored = bm25.add_bm25(mentions, docs.select("url", "text"))
+            links = linking.build_links(
+                residues, self.layer_map,
+                semantic=self.semantic, threshold=self.sim_threshold)
+            merged, residual = linking.merge_links(scored, links)
+            self._write(residual, "links_residual")
+            return self._bucketed(merged.drop("pbucket"))
+
+        linked = self._run_stage("link", fp2, build_linked,
+                                 "linked", partition_by=["pbucket"], resume=resume)
+        residual = self._read("links_residual")
+
+        fp3 = fingerprint(self._catalog_fp, "canonicalize")
+        canon = self._run_stage(
+            "canonicalize", fp3,
+            lambda: canonicalize.canonical_map(self.spark, self.layer_map),
+            "canon", resume=resume)
+
+        fp4 = fingerprint(fp2, fp3, "materialize")
+        triples = self._run_stage(
+            "materialize", fp4,
+            lambda: materialize.materialize_triples(
+                materialize.evidence(linked, residual, canon)),
+            "triples", partition_by=["pred"], resume=resume)
+        return triples
+
+    def triples(self) -> DataFrame:
+        return self._read("triples")

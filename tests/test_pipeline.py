@@ -1,0 +1,81 @@
+"""End-to-end 5-stage pipeline: structural checks, determinism, lineage,
+and idempotent resume (SURVEY.md §5 resume/idempotency tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apt_bron_re_spark.plans.pipeline import Pipeline
+from apt_bron_re_spark.sources.pages import pages_df
+
+N_PAGES = 40
+
+
+@pytest.fixture(scope="module")
+def base_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("stages")
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, layer_map, base_dir):
+    return Pipeline(spark, layer_map, base_dir, n_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def triples(spark, pipeline):
+    pages = pages_df(spark, N_PAGES)
+    return pipeline.run(pages).cache()
+
+
+def test_triples_shape(triples):
+    assert triples.count() > 0
+    assert set(triples.columns) == {
+        "subj", "pred", "obj", "sources", "justification", "score"}
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert "uses" in preds and "exploits" in preds
+
+
+def test_hub_entity_has_edges(triples):
+    hub = triples.filter("subj = 'G0106'")
+    assert hub.count() > 0
+    # hub appears in ~30% of pages -> multi-source edges exist
+    assert hub.filter(F.size("sources") >= 2).count() > 0
+
+
+def test_canonical_ids_in_triples(triples):
+    # G0104 merged into G0102 (shared alias) -> never appears as subject
+    assert triples.filter("subj = 'G0104'").count() == 0
+
+
+def test_lineage_recorded(pipeline, triples):
+    lin = pipeline.log.metrics()
+    stages = {r.stage for r in lin.select("stage").distinct().collect()}
+    assert stages == {"extract", "mention", "link", "canonicalize",
+                      "materialize"}
+    # per-bucket rows + summary row for the bucketed stages
+    ext = lin.filter("stage = 'extract'")
+    assert ext.filter("bucket = -1").count() == 1
+    assert ext.filter("bucket >= 0").count() > 1
+
+
+def test_resume_skips_and_is_identical(spark, pipeline, triples, base_dir):
+    lin_before = pipeline.log.metrics().count()
+    pages = pages_df(spark, N_PAGES)
+    again = pipeline.run(pages, resume=True)
+    # resumed run appended no lineage rows (all stages skipped)
+    assert pipeline.log.metrics().count() == lin_before
+
+    t1 = {(r.subj, r.pred, r.obj, tuple(r.sources)) for r in triples.collect()}
+    t2 = {(r.subj, r.pred, r.obj, tuple(r.sources)) for r in again.collect()}
+    assert t1 == t2
+
+
+def test_rerun_without_resume_is_deterministic(spark, layer_map, triples,
+                                               tmp_path_factory):
+    base2 = tmp_path_factory.mktemp("stages2")
+    p2 = Pipeline(spark, layer_map, base2, n_buckets=8)
+    t2 = p2.run(pages_df(spark, N_PAGES), resume=False)
+    a = {(r.subj, r.pred, r.obj, tuple(r.sources), r.score)
+         for r in triples.collect()}
+    b = {(r.subj, r.pred, r.obj, tuple(r.sources), r.score)
+         for r in t2.collect()}
+    assert a == b
