@@ -44,11 +44,11 @@ def test_deterministic():
 # invariant violation (BASELINE.json input_hint), not a harmless change —
 # regenerate ONLY with a conscious decision.
 PINNED = {
-    0: "9802a6a51e93c9f8fc1bb319e37da94532f33cff4bf299a08ccf436b5ebb0f46",
-    1: "a4e644cd77c1ec30dfd49124df3ec34b3f25472a3e984dab95e697678a6d7667",
-    2: "476e8d9861e37d02de9200a40eb4d0900ffb5cefd57a30b7d4f6e545cd6ed19d",
-    3: "3577a7ed91ca2425dafebb5fff89c9191b0f9228918f93af797b0f41bcfb3706",
-    4: "58ac1577d37bf6515689c3ca53c441270473033733d8e6987b00d78d2d355f85",
+    0: "64840334ba159c604699cf3a631a650415d43c3101f8a7e39c0d83963e79adde",
+    1: "d528cb107ce382da2462a3f6de1551df855322d81ca9ce123e71fbc7132aef12",
+    2: "841edc49c80d5c6a8969d1531d3361e9ca1c811ad2b29aefa3125433a11cd3e9",
+    3: "c1b922675074de834c81276b82629b8ec1dade365ff97c23609262b3cc059f12",
+    4: "539838f39e48441b30682559acaa120a82cd559d8c0c049d676204249f4285d8",
 }
 
 
