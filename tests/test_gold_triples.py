@@ -1,0 +1,42 @@
+"""Triple P/R vs the pinned gold fixtures (BASELINE.json: P/R >= 0.95).
+
+The gold file freezes the (subj, pred, obj) set the pipeline emits on the
+pinned 60-page corpus; regenerate only via scripts/gen_gold.py on a
+conscious semantics change."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from apt_bron_re_spark.plans.pipeline import Pipeline
+from apt_bron_re_spark.sources.pages import pages_df
+
+GOLD = json.loads(
+    (Path(__file__).parent / "fixtures" / "gold_triples.json").read_text())
+
+
+@pytest.fixture(scope="module")
+def triples(spark, layer_map, tmp_path_factory):
+    pipe = Pipeline(spark, layer_map, tmp_path_factory.mktemp("gold_run"),
+                    n_buckets=8)
+    return pipe.run(pages_df(spark, GOLD["n_pages"]))
+
+
+def test_triple_precision_recall(triples):
+    gold = {(t["subj"], t["pred"], t["obj"]) for t in GOLD["triples"]}
+    got = {(r.subj, r.pred, r.obj) for r in triples.collect()}
+    tp = len(gold & got)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(gold) if gold else 0.0
+    assert precision >= 0.95, f"precision {precision:.3f} < 0.95"
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
+
+
+def test_sources_and_scores_match_gold(triples):
+    gold = {(t["subj"], t["pred"], t["obj"]): (tuple(t["sources"]), t["score"])
+            for t in GOLD["triples"]}
+    got = {(r.subj, r.pred, r.obj): (tuple(sorted(r.sources)), r.score)
+           for r in triples.collect()}
+    mismatches = {k for k in gold.keys() & got.keys() if gold[k] != got[k]}
+    assert not mismatches, f"{len(mismatches)} source/score mismatches"
