@@ -1,38 +1,96 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction-shaped query on the
+driver's sf0.001 tables; ``queries()``/``oracle_sql()`` expose the operator
+registry in apt_bron_re_spark/queries.py (one entry per operator family
+from SURVEY.md §2 + the training-data-pipeline operators), each verified
+against its DuckDB oracle by tests/test_oracle_parity.py before the driver
+ever sees it.  Entries without an oracle are genuinely non-SQL-expressible
+(iterative connected components, the full 5-stage pipeline, MinHash-LSH
+banding with Python hash UDFs).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from apt_bron_re_spark.queries import ORACLES, SPARK_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dictionary-mention extraction over the document corpus ->
+    doc-level co-occurrence edges (subj, obj, n_sources) — the KG pipeline
+    shape (extract -> mention -> materialize) on the driver's tables."""
+    from apt_bron_re_spark.queries import q_cooccur_triples
+    return q_cooccur_triples(spark, "/root/testdata/sf0.001")
+
+
+def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Iterative / UDF-hash operators the DuckDB oracle can't express."""
+
+    def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # The full 5-stage KG pipeline on the deterministic synthetic page
+        # corpus (independent of sf_dir; scale pinned for the rows-check).
+        import tempfile
+
+        from apt_bron_re_spark.catalog.synthetic import build_layer_map
+        from apt_bron_re_spark.plans.pipeline import Pipeline
+        from apt_bron_re_spark.sources.pages import pages_df
+
+        base = tempfile.mkdtemp(prefix="kg_triples_")
+        pipe = Pipeline(spark, build_layer_map(), base, n_buckets=8)
+        return pipe.run(pages_df(spark, 60))
+
+    def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # CC over the bipartite user/event-type graph of the events table.
+        from pyspark.sql import functions as F
+
+        from apt_bron_re_spark.operators.canonicalize import (
+            connected_components as cc,
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        edges = ev.select(
+            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        ).distinct()
+        return cc(edges)
+
+    def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apt_bron_re_spark.operators.dedup import minhash_candidates
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_candidates(docs)
+
+    def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apt_bron_re_spark.operators.dedup import simhash
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash(docs)
+
+    def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apt_bron_re_spark.operators.multimodal import synth_assets, asset_features
+        return asset_features(synth_assets(spark, 200))
+
+    return {
+        "kg_triples": kg_triples,
+        "connected_components": connected_components,
+        "minhash_dedup": minhash_dedup,
+        "simhash_docs": simhash_docs,
+        "multimodal_meta": multimodal_meta,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in SPARK_QUERIES.items():
+        out[name] = fn
+    out.update(_non_oracle_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

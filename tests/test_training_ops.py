@@ -1,0 +1,134 @@
+"""Training-data-pipeline operators: dedup (exact/MinHash/SimHash/Jaccard),
+similarity search, text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apt_bron_re_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    rows = [
+        (0, base),
+        (1, base),                                 # exact dup of 0
+        (2, base.replace("tonight", "today")),     # near dup of 0
+        (3, "completely different text about spark shuffles and joins "
+            "partitions caching executors memory spill"),
+        (4, "yet another unrelated document mentioning streams windows "
+            "watermarks state stores checkpoints triggers latency"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [0, 1]
+
+
+def test_minhash_candidates_finds_near_dup(docs):
+    pairs = {(r.a_id, r.b_id): r.est_jaccard
+             for r in dedup.minhash_candidates(docs).collect()}
+    assert pairs[(0, 1)] == 1.0                  # identical signatures
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (3, 4) not in pairs                   # unrelated docs don't collide
+
+
+def test_minhash_deterministic(docs):
+    s1 = {tuple(r.sig) for r in dedup.minhash_signatures(docs).collect()}
+    s2 = {tuple(r.sig) for r in dedup.minhash_signatures(docs).collect()}
+    assert s1 == s2
+
+
+def test_simhash_near_pairs(docs):
+    sh = {r.doc_id: r.simhash64 for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    pairs = {(r.a_id, r.b_id): r.hamming
+             for r in dedup.simhash_near_pairs(docs, max_hamming=12).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 12
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a_id long, b_id long")
+    out = {(r.a_id, r.b_id): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(docs, cands, 0.5).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) in out and out[(0, 2)] >= 0.5
+    assert (0, 3) not in out
+
+
+def test_brute_force_topk(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+        + [(4, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "q_id long, q_emb array<float>")
+    top = similarity.brute_force_topk(vecs, queries, k=2).collect()
+    assert [(r.vec_id, r.rnk) for r in top] == [(0, 1), (4, 2)]
+
+
+def test_lsh_topk_matches_brute_force_top1(spark):
+    # LSH with identical vectors in the same bucket must return the exact
+    # match first.
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7)], "q_id long, q_emb array<float>")
+    top = similarity.lsh_topk(vecs, queries, dim=8, k=1).collect()
+    assert top and top[0].vec_id == 0 and top[0].cos_sim == 1.0
+
+
+def test_textstats(docs):
+    tc = {r.doc_id: r for r in textstats.token_count(docs).collect()}
+    assert tc[0].n_ws_tokens == 19
+    assert tc[0].n_word_tokens == 19
+    assert tc[0].n_bpe_est > 0
+
+    qs = {r.doc_id: r for r in textstats.quality_scores(docs).collect()}
+    assert 0 < qs[0].distinct_ratio <= 1.0
+    assert qs[0].stopword_ratio > 0          # "the", "and", "over"...
+    assert qs[0].punct_ratio == 0.0
+
+    li = {r.doc_id: r for r in textstats.language_id(docs).collect()}
+    assert li[0].pred_lang == "en"
+
+
+def test_fingerprint_shared_passages(docs):
+    pairs = {(r.a_id, r.b_id) for r in
+             textstats.shared_passage_pairs(docs, min_shared=1).collect()}
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_multimodal_features(spark):
+    assets = multimodal.synth_assets(spark, 30)
+    feats = multimodal.asset_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same payload -> same sha/feature
+    again = {r.asset_id: r.payload_sha
+             for r in multimodal.asset_features(assets).collect()}
+    assert all(again[r.asset_id] == r.payload_sha for r in rows)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", "image", real_decode=True)
+
+
+def test_frame_sample_plan(spark):
+    assets = multimodal.synth_assets(spark, 9)
+    plan = multimodal.frame_sample_plan(assets, every_ms=5000)
+    vids = assets.filter("kind = 'video'").count()
+    assert plan.count() >= vids
+    assert plan.groupBy("asset_id").count().count() == vids
