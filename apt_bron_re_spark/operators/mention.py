@@ -58,15 +58,31 @@ def detect_mentions(docs: DataFrame,
                     add_ner_score: bool = True,
                     exact_score: float = NER_MATCH_SCORE,
                     char_len: int = CPE_CHAR_RANGE,
-                    context_length: int = CONTEXT_LENGTH) -> DataFrame:
-    """docs(url, text) -> union table of mention + residue rows."""
+                    context_length: int = CONTEXT_LENGTH,
+                    event_time_col: str | None = None) -> DataFrame:
+    """docs(url, text) -> union table of mention + residue rows.
+
+    ``event_time_col`` (streaming): a timestamp column carried through the
+    UDF so windowed aggregations downstream need no stream-stream join.
+    """
     catalog = compile_catalog(layer_map)
     tagger = NerTagger(layer_map) if add_ner_score else None
+
+    schema = MENTION_SCHEMA
+    in_cols = ["url", "text"]
+    if event_time_col:
+        schema = T.StructType(
+            MENTION_SCHEMA.fields
+            + [T.StructField(event_time_col, T.TimestampType(), True)])
+        in_cols.append(event_time_col)
+    out_cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            ets = pdf[event_time_col] if event_time_col else None
+            for i, (url, text) in enumerate(zip(pdf["url"], pdf["text"])):
+                extra = {event_time_col: ets.iloc[i]} if event_time_col else {}
                 results, residue = process_document(
                     text, catalog, tagger,
                     add_ner_score=add_ner_score,
@@ -77,6 +93,7 @@ def detect_mentions(docs: DataFrame,
                 for category, entries in results.items():
                     for ent in entries:
                         rows.append({
+                            **extra,
                             "url": url,
                             "rec_type": "mention",
                             "category": category,
@@ -96,6 +113,7 @@ def detect_mentions(docs: DataFrame,
                 for bucket, values in residue.items():
                     for val in values:
                         rows.append({
+                            **extra,
                             "url": url,
                             "rec_type": "residue",
                             "category": None, "name": None,
@@ -106,9 +124,9 @@ def detect_mentions(docs: DataFrame,
                             "ner_score": None, "sentence": None,
                             "bucket": bucket,
                         })
-            yield pd.DataFrame(rows, columns=_COLS)
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return docs.select("url", "text").mapInPandas(run, MENTION_SCHEMA)
+    return docs.select(*in_cols).mapInPandas(run, schema)
 
 
 def mentions_view(stage: DataFrame) -> DataFrame:

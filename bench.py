@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the full 5-stage KG
+pipeline on the deterministic synthetic page corpus (size scaled to sf),
+then prints ONE JSON line:
+
+    {"metric": "triples_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ...}
+
+The primary value is the KG pipeline's triples/sec (BASELINE.json metric).
+Query executions are forced with the noop sink (full plan, no driver
+collect).  Use scripts/bench_scaling.py for the N-vs-4N parallelism
+scaling run recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from apt_bron_re_spark.queries import SPARK_QUERIES  # noqa: E402
+
+HEADLINE = [
+    "dict_first_mention",
+    "bm25_terms",
+    "cooccur_triples",
+    "theta_join_sim",
+    "ann_topk",
+    "tpch_q1",
+    "orders_by_nation",
+    "window_running",
+    "events_hourly",
+    "part_revenue",
+    "ngram_jaccard_dups",
+    "quality_score",
+]
+
+# pages per unit scale factor for the synthetic KG corpus
+PAGES_PER_SF = 40_000
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_kg_pipeline(spark, sf: float, workdir: str) -> tuple[float, int]:
+    """Returns (wall seconds, triples emitted)."""
+    from apt_bron_re_spark.catalog.synthetic import build_layer_map
+    from apt_bron_re_spark.plans.pipeline import Pipeline
+    from apt_bron_re_spark.sources.pages import pages_df
+
+    n_pages = max(200, int(PAGES_PER_SF * sf))
+    pages_path = os.path.join(workdir, "pages")
+    pages_df(spark, n_pages).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    base = os.path.join(workdir, "stages")
+    pipe = Pipeline(spark, build_layer_map(), base, n_buckets=32)
+    t0 = time.time()
+    triples = pipe.run(pages, resume=False)
+    n_triples = triples.count()
+    return time.time() - t0, n_triples
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from apt_bron_re_spark.session import get_spark
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(SPARK_QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    workdir = tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+        kg_wall, n_triples = run_kg_pipeline(spark, sf, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    timings["kg_pipeline"] = round(kg_wall, 3)
+
+    triples_per_sec = round(n_triples / kg_wall, 2) if kg_wall > 0 else 0.0
+    print(json.dumps({
+        "metric": "triples_per_sec",
+        "value": triples_per_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_triples": n_triples,
+    }))
+
+
+if __name__ == "__main__":
+    main()
