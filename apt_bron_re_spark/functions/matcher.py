@@ -80,14 +80,18 @@ class MultiPatternMatcher:
         # Pre-sort span widths so the scan loop is branch-light.
         self._widths = sorted(self._spans)
 
-    def find(self, text_lower: str) -> list[Match]:
+    def find(self, text_lower: str,
+             tokens: list[tuple[int, int]] | None = None) -> list[Match]:
         """All boundary-passing earliest occurrences, ordered by end offset.
 
         ``text_lower`` must already be lowercased (the caller owns the
-        ``text.lower()`` — reference basic.py:120).
+        ``text.lower()`` — reference basic.py:120).  ``tokens`` (the
+        TOKEN_RE spans of text_lower) can be precomputed once per document
+        and shared across every matcher — the hot-loop optimization.
         """
         best: dict[str, int] = {}  # pattern -> earliest start
-        tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
+        if tokens is None:
+            tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
         n_tok = len(tokens)
         for width in self._widths:
             pats = self._spans[width]
@@ -112,11 +116,14 @@ class MultiPatternMatcher:
         out.sort(key=lambda m: (m.end, m.pattern))
         return out
 
-    def find_all_occurrences(self, text_lower: str) -> list[Match]:
+    def find_all_occurrences(self, text_lower: str,
+                             tokens: list[tuple[int, int]] | None = None
+                             ) -> list[Match]:
         """Every boundary-passing occurrence (used by the cpe_versioned
         context filter, which examines each occurrence — basic.py:209-224)."""
         hits: list[Match] = []
-        tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
+        if tokens is None:
+            tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
         n_tok = len(tokens)
         for width in self._widths:
             pats = self._spans[width]

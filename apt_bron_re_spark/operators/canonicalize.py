@@ -34,16 +34,22 @@ def connected_components(edges: DataFrame,
                          src: str = "src",
                          dst: str = "dst",
                          max_iter: int = 25,
-                         n_salts: int = 8) -> DataFrame:
+                         n_salts: int = 8,
+                         partitions: int | None = None) -> DataFrame:
     """edges(src, dst) -> (id, component); component = min id in component.
 
     Ids are strings.  The edge list is treated as undirected.
+    ``partitions`` caps the per-round shuffle width — size it to the graph
+    (catalog-sized alias graphs need far fewer tasks than the session
+    default; web-scale graphs need more).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    if partitions:
+        sym = sym.repartition(partitions, "a")
     comp = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -122,7 +128,7 @@ def canonical_map(spark, layer_map: dict[str, list[dict]],
     """(label, original_id, canon_id): canon_id = lexicographically-min
     original_id among alias-connected nodes of the same label."""
     edges = spark.createDataFrame(alias_edges(layer_map), "src string, dst string")
-    comp = connected_components(edges, max_iter=max_iter)
+    comp = connected_components(edges, max_iter=max_iter, partitions=4)
 
     ids = (
         comp.filter(~F.col("id").contains(":~"))

@@ -112,12 +112,14 @@ class NerTagger:
         self._matcher = MultiPatternMatcher(
             set(surface_to_cat) | set(self._normalized))
 
-    def tag(self, text: str) -> dict[str, list[str]]:
+    def tag(self, text: str,
+            tokens: list[tuple[int, int]] | None = None) -> dict[str, list[str]]:
         """raw_ner: {RAW_CATEGORY: [value, ...]}; values are the surface as
         it appears in the text, or the service's normalized form."""
         text_lower = text.lower()
         raw: dict[str, list[str]] = {}
-        for m in sorted(self._matcher.find(text_lower), key=lambda h: h.start):
+        for m in sorted(self._matcher.find(text_lower, tokens),
+                        key=lambda h: h.start):
             if m.pattern in self._normalized:
                 cat, surface = self._normalized[m.pattern]
             else:
@@ -207,6 +209,50 @@ def context_sentence(text: str, idx: int, context_length: int) -> str:
     return f"{before_snippet} {after_snippet}".strip()
 
 
+class _ContextIndex:
+    """O(log W) context sentences: precompute the \\b\\w+\\b word spans
+    once per document instead of re-scanning the full text per hit.
+
+    Exactly equivalent to ``context_sentence`` for every index: a \\w+
+    word straddling ``idx`` (possible because '_' is a \\w char but a
+    valid M1 boundary) is truncated into both halves, exactly as
+    re-tokenizing the two slices does.  Equivalence is property-tested in
+    tests/test_doc_core.py.
+    """
+
+    def __init__(self, text: str, context_length: int) -> None:
+        self.text = text
+        self.n = context_length
+        self.spans = [(m.start(), m.end(), m.group())
+                      for m in WORD_RE.finditer(text)]
+        self.starts = [s for s, _, _ in self.spans]
+        self.ends = [e for _, e, _ in self.spans]
+
+    def sentence(self, idx: int) -> str:
+        import bisect
+        # words wholly inside text[:idx] == words with end <= idx
+        bi = bisect.bisect_right(self.ends, idx)
+        before_words = [w for _, _, w in self.spans[max(0, bi - self.n):bi]]
+        # a word straddling idx contributes its prefix to the before side
+        j = bisect.bisect_right(self.starts, idx) - 1
+        straddle = (j >= 0 and self.starts[j] < idx < self.ends[j])
+        if straddle:
+            before_words = (before_words + [self.text[self.starts[j]:idx]])[-self.n:]
+        before_snippet = " ".join(before_words)
+        if "." in before_snippet:
+            before_snippet = before_snippet.split(".")[-1].strip()
+
+        # words starting at or after idx (+ the straddler's suffix first)
+        ai = bisect.bisect_left(self.starts, idx)
+        after_words = [w for _, _, w in self.spans[ai:ai + self.n]]
+        if straddle:
+            after_words = ([self.text[idx:self.ends[j]]] + after_words)[:self.n]
+        after_snippet = " ".join(after_words)
+        if "." in after_snippet:
+            after_snippet = after_snippet.split(".")[0].strip()
+        return f"{before_snippet} {after_snippet}".strip()
+
+
 # --------------------------------------------------------------------------
 # Stage-2 core: one document -> (hits per category, NER residue)
 # --------------------------------------------------------------------------
@@ -230,9 +276,12 @@ def process_document(text: str,
     Returns (results, mapped_ner_residue).
     """
     text_lower = text.lower()
+    # Tokenize once; every matcher (and the tagger) shares the spans.
+    from ..functions.matcher import TOKEN_RE
+    tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
 
     if add_ner_score and tagger is not None:
-        raw_ner = tagger.tag(text)
+        raw_ner = tagger.tag(text, tokens=tokens)
         mapped_ner = map_ner_results(raw_ner)
         ner_lookup = build_ner_lookup(mapped_ner)
     else:
@@ -242,7 +291,7 @@ def process_document(text: str,
 
     for layer_type, matcher in catalog.matchers.items():
         if layer_type == "technique":
-            name_hits = _match_variants(text_lower, layer_type, catalog)
+            name_hits = _match_variants(text_lower, layer_type, catalog, tokens)
             id_hits = _match_technique_ids(text, catalog)
             combined = {}
             for h in (*name_hits, *id_hits):
@@ -252,7 +301,7 @@ def process_document(text: str,
 
         elif layer_type == "cpe_versioned":
             filtered = []
-            for m in matcher.find_all_occurrences(text_lower):
+            for m in matcher.find_all_occurrences(text_lower, tokens):
                 node = catalog.variant_to_node["cpe_versioned"][m.pattern]
                 at_least = node["at_least"]
                 radius = at_least * char_len
@@ -274,7 +323,7 @@ def process_document(text: str,
             # else: faithful dead-code behaviour — emit nothing (M6)
 
         else:
-            hits = _match_variants(text_lower, layer_type, catalog)
+            hits = _match_variants(text_lower, layer_type, catalog, tokens)
             if hits:
                 results[layer_type] = hits
 
@@ -313,6 +362,7 @@ def process_document(text: str,
                         break
 
     # A1 exact-dedup per category (basic.py:304-340) then A2 context.
+    ctx = _ContextIndex(text, context_length)
     for category, entries in results.items():
         seen = set()
         deduped = []
@@ -324,17 +374,18 @@ def process_document(text: str,
         for ent in deduped:
             idx = ent.get("index")
             if idx is not None:
-                ent["sentence"] = context_sentence(text, idx, context_length)
+                ent["sentence"] = ctx.sentence(idx)
         results[category] = deduped
 
     return results, mapped_ner
 
 
 def _match_variants(text_lower: str, category: str,
-                    catalog: CompiledCatalog) -> list[dict]:
+                    catalog: CompiledCatalog,
+                    tokens: list[tuple[int, int]] | None = None) -> list[dict]:
     """M1 over one label (reference match_variants, basic.py:114-148)."""
     out = []
-    for m in catalog.matchers[category].find(text_lower):
+    for m in catalog.matchers[category].find(text_lower, tokens):
         node_info = catalog.variant_to_node[category][m.pattern]
         node = (node_info["node"]
                 if isinstance(node_info, dict) and "node" in node_info

@@ -64,6 +64,10 @@ class Pipeline:
             "pbucket", F.pmod(F.crc32(F.col("url")), F.lit(self.n_buckets)).cast("int"))
 
     def _write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        if partition_by:
+            # co-locate each output partition in one task -> one file per
+            # partition dir instead of (tasks x partitions) small files
+            df = df.repartition(*[F.col(c) for c in partition_by])
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -105,10 +109,13 @@ class Pipeline:
         fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
 
         def build_linked() -> DataFrame:
-            scored = bm25.add_bm25(mentions, docs.select("url", "text"))
+            # scored + links feed BOTH outputs (linked, links_residual);
+            # persist so the residual write doesn't recompute the whole
+            # BM25 + linking lineage a second time for the linked write.
+            scored = bm25.add_bm25(mentions, docs.select("url", "text")).persist()
             links = linking.build_links(
                 residues, self.layer_map,
-                semantic=self.semantic, threshold=self.sim_threshold)
+                semantic=self.semantic, threshold=self.sim_threshold).persist()
             merged, residual = linking.merge_links(scored, links)
             self._write(residual, "links_residual")
             return self._bucketed(merged.drop("pbucket"))
