@@ -35,13 +35,18 @@ def connected_components(edges: DataFrame,
                          dst: str = "dst",
                          max_iter: int = 25,
                          n_salts: int = 8,
-                         partitions: int | None = None) -> DataFrame:
+                         partitions: int | None = None,
+                         fixed_rounds: int | None = None) -> DataFrame:
     """edges(src, dst) -> (id, component); component = min id in component.
 
     Ids are strings.  The edge list is treated as undirected.
     ``partitions`` caps the per-round shuffle width — size it to the graph
     (catalog-sized alias graphs need far fewer tasks than the session
-    default; web-scale graphs need more).
+    default; web-scale graphs need more).  ``fixed_rounds`` skips the
+    per-round convergence-count job and runs exactly that many rounds —
+    correct whenever rounds >= ceil(log2(diameter)) + 1 (pointer jumping
+    halves path lengths per round); use it when the graph's diameter bound
+    is known (the alias graph's is) to cut scheduler latency.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -56,7 +61,8 @@ def connected_components(edges: DataFrame,
         .withColumn("component", F.col("id"))
     )
 
-    for _ in range(max_iter):
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
+    for round_i in range(n_rounds):
         # neighbour minimum, two-phase salted: (b, salt) -> b
         nbr = (
             sym.join(comp.withColumnRenamed("id", "a"), "a")
@@ -82,17 +88,20 @@ def connected_components(edges: DataFrame,
                     F.coalesce(F.col("y.component"), F.col("x.component"))
                     .alias("component"))
         )
-        # Convergence check; localCheckpoint truncates the growing lineage
-        # so each round's plan stays O(1).
+        # localCheckpoint truncates the growing lineage so each round's
+        # plan stays O(1).
         new_comp = new_comp.localCheckpoint(eager=True)
-        changed = (
-            new_comp.alias("n").join(comp.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
+        if fixed_rounds is None:
+            changed = (
+                new_comp.alias("n").join(comp.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1).count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            comp = new_comp
     return comp
 
 
@@ -128,7 +137,10 @@ def canonical_map(spark, layer_map: dict[str, list[dict]],
     """(label, original_id, canon_id): canon_id = lexicographically-min
     original_id among alias-connected nodes of the same label."""
     edges = spark.createDataFrame(alias_edges(layer_map), "src string, dst string")
-    comp = connected_components(edges, max_iter=max_iter, partitions=4)
+    # id <-> surface bipartite graph: component diameter <= ~8 even with
+    # chained shared aliases; 4 pointer-jumped rounds cover 2^4 hops.
+    comp = connected_components(edges, max_iter=max_iter, partitions=4,
+                                fixed_rounds=4)
 
     ids = (
         comp.filter(~F.col("id").contains(":~"))
