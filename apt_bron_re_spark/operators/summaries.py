@@ -1,0 +1,95 @@
+"""Summary / analytics operators over the mention tables — A5-A9 in
+SURVEY.md (reference src/nodes_extraction/summary_funcs.py).
+
+All pure DataFrame aggregations (partial+final hash agg, window ranks,
+anti-joins); the reference's file/PNG sinks become result DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_report_counts(mentions: DataFrame) -> DataFrame:
+    """A5 (summary_funcs.py:8-24): hit counts per (url, category)."""
+    return (mentions.groupBy("url", "category")
+            .agg(F.count("*").alias("n_hits")))
+
+
+def global_totals(mentions: DataFrame) -> DataFrame:
+    """A6 (summary_funcs.py:27-63): totals per category across the corpus."""
+    return (mentions.groupBy("category")
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("url").alias("n_reports")))
+
+
+def problematic_names(scored: DataFrame, threshold: float = 1.0,
+                      max_above_ratio: float = 0.5) -> DataFrame:
+    """A7 (summary_funcs.py:118-166): names whose BM25 scores are mostly
+    under the threshold, with the above-threshold exceptions collected."""
+    base = (
+        scored
+        .filter(F.col("bm25_score").isNotNull() & F.col("name").isNotNull())
+        .select("category",
+                F.lower(F.trim(F.col("name"))).alias("name"),
+                "url", "bm25_score")
+    )
+    return (
+        base.groupBy("category", "name")
+        .agg(
+            F.count("*").alias("total"),
+            F.count_if(F.col("bm25_score") < threshold).alias("under"),
+            F.sort_array(F.collect_list(
+                F.when(F.col("bm25_score") >= threshold,
+                       F.struct("url", "bm25_score")))).alias("exceptions"),
+        )
+        .filter((F.col("under") / F.col("total")) >= (1.0 - max_above_ratio))
+    )
+
+
+def bm25_statistics(scored: DataFrame, threshold: float = 1.0) -> DataFrame:
+    """A8 (summary_funcs.py:169-250): per (category, name) mean/stddev and
+    above/below-threshold counts; names with n>=2 and not always-above."""
+    base = (
+        scored
+        .filter(F.col("bm25_score").isNotNull() & F.col("name").isNotNull())
+        .select("category",
+                F.lower(F.trim(F.col("name"))).alias("name"), "bm25_score")
+    )
+    stats = (
+        base.groupBy("category", "name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("bm25_score"), 4).alias("mean_score"),
+            F.round(F.stddev_samp("bm25_score"), 4).alias("stddev_score"),
+            F.count_if(F.col("bm25_score") >= threshold).alias("above"),
+            F.count_if(F.col("bm25_score") < threshold).alias("below"),
+        )
+        .filter(F.col("n") >= 2)
+        .withColumn("ratio_above",
+                    F.round(F.col("above") / F.col("n"), 4))
+        .filter(F.col("ratio_above") < 1.0)
+    )
+    w = Window.partitionBy("category").orderBy(F.desc("mean_score"), "name")
+    return stats.withColumn("rank_in_category", F.row_number().over(w))
+
+
+def ablation_differences(mentions_a: DataFrame, mentions_b: DataFrame
+                         ) -> DataFrame:
+    """A9 (summary_funcs.py:66-115): per (url, category), entity ids only
+    in pipeline A vs only in pipeline B (two anti-joins, UNION of keys)."""
+    def keys(df: DataFrame, side: str) -> DataFrame:
+        return (df.select(
+            "url", "category",
+            F.lower(F.coalesce("original_id", "value", F.lit("")))
+            .alias("entity_id"))
+            .distinct()
+            .withColumn("side", F.lit(side)))
+
+    a, b = keys(mentions_a, "only_a"), keys(mentions_b, "only_b")
+    only_a = a.join(b.drop("side"), ["url", "category", "entity_id"],
+                    "left_anti")
+    only_b = b.join(a.drop("side"), ["url", "category", "entity_id"],
+                    "left_anti")
+    return only_a.unionByName(only_b)
