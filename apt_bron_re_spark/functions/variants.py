@@ -28,6 +28,28 @@ def generate_variants(text: str) -> set[str]:
     }
 
 
+def generate_variants_extended(text: str) -> set[str]:
+    """The reference *test harness* variant set (tests/
+    compare_groups_and_aliases.py:24-37): a smaller transform set (no
+    underscore transforms) plus plural ``s``/``'s`` forms for variants not
+    already ending in ``s``.  Not used by the pipeline itself (the pipeline
+    matches the reference pipeline's ``generate_variants``); provided for
+    coverage-analysis parity."""
+    base = text.lower()
+    variants = {
+        base,
+        base.replace("-", " "),
+        base.replace(" ", ""),
+        base.replace(" ", "-"),
+    }
+    plural_forms = set()
+    for v in variants:
+        if not v.endswith("s"):
+            plural_forms.add(v + "s")
+            plural_forms.add(v + "'s")
+    return variants | plural_forms
+
+
 def extract_cpe_words(original_id: str, version: str | None = None,
                       exclude_version: bool = False) -> list[str]:
     """Unique non-wildcard words of a CPE id, in first-seen order.

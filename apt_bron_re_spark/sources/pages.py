@@ -91,8 +91,14 @@ def _year_of(i: int) -> int:
     return 2019 + (i % 6)
 
 
-def generate_page(i: int, seed: int = 42) -> dict:
-    """One deterministic page record (plain dict)."""
+def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
+    """One deterministic page record (plain dict).
+
+    ``scale`` multiplies the filler-prose volume (realistic web pages are
+    10-100 KB; the default tiny pages keep unit tests fast).  scale=1
+    output is byte-stable regardless of this parameter's existence — the
+    extra draws happen only when scale > 1, after the base draws.
+    """
     rng = random.Random((seed << 20) ^ i)
     layers = build_layer_map()
 
@@ -195,6 +201,11 @@ def generate_page(i: int, seed: int = 42) -> dict:
     # --- filler prose
     for _ in range(rng.randrange(2, 5)):
         paras.append(rng.choice(_FILLER))
+    if scale > 1:
+        for k in range(6 * (scale - 1)):
+            paras.append(
+                f"Observation {k}: " + " ".join(
+                    rng.choice(_FILLER) for _ in range(3)))
     rng.shuffle(paras)
 
     year = _year_of(i)
@@ -231,12 +242,13 @@ def generate_page(i: int, seed: int = 42) -> dict:
     }
 
 
-def generate_pages(n: int, seed: int = 42) -> list[dict]:
+def generate_pages(n: int, seed: int = 42, scale: int = 1) -> list[dict]:
     """n deterministic page records."""
-    return [generate_page(i, seed) for i in range(n)]
+    return [generate_page(i, seed, scale) for i in range(n)]
 
 
-def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None,
+             scale: int = 1):
     """Synthetic pages as a Spark DataFrame with the input_hint schema.
 
     For large n the generation itself is distributed: parallelize the ids
@@ -256,7 +268,7 @@ def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None):
     rdd = (
         spark.sparkContext
         .parallelize(range(n), parts)
-        .map(lambda i: generate_page(i, seed))
+        .map(lambda i: generate_page(i, seed, scale))
         .map(lambda d: (d["url"], d["warc_ts"], d["html"], d["text"], d["lang"]))
     )
     return spark.createDataFrame(rdd, schema)

@@ -5,6 +5,7 @@ from apt_bron_re_spark.functions.variants import (
     cpe_at_least,
     extract_cpe_words,
     generate_variants,
+    generate_variants_extended,
 )
 
 
@@ -25,6 +26,16 @@ def test_variants_dash_and_underscore():
 
 def test_variants_single_token():
     assert generate_variants("Mimikatz") == {"mimikatz"}
+
+
+def test_variants_extended_plurals():
+    got = generate_variants_extended("Hidden Cobra")
+    assert "hidden cobras" in got and "hidden cobra's" in got
+    assert "hiddencobras" in got and "hidden-cobras" in got
+    # underscore transforms are NOT in the harness set
+    assert "hidden_cobra" not in got
+    # variants already ending in 's' gain no plural forms
+    assert generate_variants_extended("mantis") == {"mantis"}
 
 
 def test_cpe_words_skips_prefix_and_wildcards():
