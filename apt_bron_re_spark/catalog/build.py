@@ -22,11 +22,23 @@ from ..functions.variants import generate_variants
 
 @dataclass
 class CompiledCatalog:
-    """Per-label variant dictionaries + matchers + the technique-id map."""
+    """Per-label variant dictionaries + matchers + the technique-id map.
+
+    ``union_matcher``/``pattern_labels`` cover all labels except the two
+    CPE ones in ONE scan pass: a pattern maps to every label whose
+    dictionary contains it, and per-label hit lists are recovered by
+    filtering — semantics identical to per-label scans because boundary
+    tests and earliest-occurrence are properties of the pattern string
+    alone, not the label.
+    """
     layer_map: dict[str, list[dict]]
     variant_to_node: dict[str, dict[str, object]] = field(default_factory=dict)
     matchers: dict[str, MultiPatternMatcher] = field(default_factory=dict)
     technique_id_to_node: dict[str, dict] = field(default_factory=dict)
+    pattern_labels: dict[str, list[str]] = field(default_factory=dict)
+    union_matcher: MultiPatternMatcher | None = None
+
+UNION_EXCLUDED = {"cpe_versioned", "cpe_unversioned"}
 
 
 def compile_catalog(layer_map: dict[str, list[dict]]) -> CompiledCatalog:
@@ -91,5 +103,12 @@ def compile_catalog(layer_map: dict[str, list[dict]]) -> CompiledCatalog:
 
         cat.variant_to_node[label] = node_map
         cat.matchers[label] = MultiPatternMatcher(node_map.keys())
+
+    for label in layer_map:
+        if label in UNION_EXCLUDED:
+            continue
+        for pattern in cat.variant_to_node[label]:
+            cat.pattern_labels.setdefault(pattern, []).append(label)
+    cat.union_matcher = MultiPatternMatcher(cat.pattern_labels.keys())
 
     return cat

@@ -15,6 +15,7 @@ a real model behind the same signature.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -28,8 +29,10 @@ def _ngrams(text: str, n: int = 3) -> list[str]:
     return [padded[i:i + n] for i in range(len(padded) - n + 1)]
 
 
+@lru_cache(maxsize=1 << 18)
 def _bucket(gram: str) -> tuple[int, float]:
-    """Stable (dimension, sign) for one n-gram via blake2b (seed-free)."""
+    """Stable (dimension, sign) for one n-gram via blake2b (seed-free).
+    Cached: the gram vocabulary is tiny relative to call volume."""
     h = hashlib.blake2b(gram.encode("utf-8"), digest_size=8).digest()
     val = int.from_bytes(h, "little")
     return val % EMBED_DIM, 1.0 if (val >> 63) & 1 else -1.0

@@ -59,8 +59,10 @@ class MultiPatternMatcher:
     """
 
     def __init__(self, patterns) -> None:
-        # spans[n] maps an n-token pattern string -> pattern
-        self._spans: dict[int, set[str]] = {}
+        # First-token index: first alnum run -> {width -> pattern set}.
+        # The scan then costs ONE dict probe per document token, plus
+        # slice+probe only where a token actually begins some pattern.
+        self._by_first: dict[str, dict[int, set[str]]] = {}
         self._irregular: list[str] = []
         for pat in set(patterns):
             if not pat:
@@ -69,41 +71,61 @@ class MultiPatternMatcher:
             regular = (
                 bool(runs)
                 and TOKEN_RE.match(pat) is not None
-                and TOKEN_RE.match(pat).start() == 0
                 and _ends_with_token(pat)
             )
             if regular:
-                self._spans.setdefault(len(runs), set()).add(pat)
+                (self._by_first.setdefault(runs[0], {})
+                 .setdefault(len(runs), set()).add(pat))
             else:
                 self._irregular.append(pat)
-        self._max_span = max(self._spans) if self._spans else 0
-        # Pre-sort span widths so the scan loop is branch-light.
-        self._widths = sorted(self._spans)
+
+    @staticmethod
+    def tokenize(text_lower: str) -> tuple[list[tuple[int, int]], list[str]]:
+        """(spans, strings) of the alnum runs — precompute once per doc and
+        share across matchers."""
+        spans, strs = [], []
+        for m in TOKEN_RE.finditer(text_lower):
+            spans.append((m.start(), m.end()))
+            strs.append(m.group())
+        return spans, strs
+
+    def _scan(self, text_lower, tokens, tok_strs, emit):
+        if tokens is None:
+            tokens, tok_strs = self.tokenize(text_lower)
+        elif tok_strs is None:
+            tok_strs = [text_lower[s:e] for s, e in tokens]
+        by_first = self._by_first
+        n_tok = len(tokens)
+        for i, tstr in enumerate(tok_strs):
+            cands = by_first.get(tstr)
+            if cands is None:
+                continue
+            s = tokens[i][0]
+            for width, pats in cands.items():
+                j = i + width - 1
+                if j >= n_tok:
+                    continue
+                e = tokens[j][1]
+                sub = text_lower[s:e]
+                if sub in pats:
+                    emit(sub, s, e)
 
     def find(self, text_lower: str,
-             tokens: list[tuple[int, int]] | None = None) -> list[Match]:
+             tokens: list[tuple[int, int]] | None = None,
+             tok_strs: list[str] | None = None) -> list[Match]:
         """All boundary-passing earliest occurrences, ordered by end offset.
 
         ``text_lower`` must already be lowercased (the caller owns the
-        ``text.lower()`` — reference basic.py:120).  ``tokens`` (the
-        TOKEN_RE spans of text_lower) can be precomputed once per document
-        and shared across every matcher — the hot-loop optimization.
+        ``text.lower()`` — reference basic.py:120).
         """
         best: dict[str, int] = {}  # pattern -> earliest start
-        if tokens is None:
-            tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
-        n_tok = len(tokens)
-        for width in self._widths:
-            pats = self._spans[width]
-            limit = n_tok - width + 1
-            for i in range(limit):
-                s = tokens[i][0]
-                e = tokens[i + width - 1][1]
-                sub = text_lower[s:e]
-                if sub in pats:
-                    prev = best.get(sub)
-                    if prev is None or s < prev:
-                        best[sub] = s
+
+        def emit(pat, s, e):
+            # i ascends, so the first emit per pattern is the earliest
+            if pat not in best:
+                best[pat] = s
+
+        self._scan(text_lower, tokens, tok_strs, emit)
         for pat in self._irregular:
             pos = _find_with_boundaries(text_lower, pat)
             if pos >= 0:
@@ -117,22 +139,14 @@ class MultiPatternMatcher:
         return out
 
     def find_all_occurrences(self, text_lower: str,
-                             tokens: list[tuple[int, int]] | None = None
+                             tokens: list[tuple[int, int]] | None = None,
+                             tok_strs: list[str] | None = None
                              ) -> list[Match]:
         """Every boundary-passing occurrence (used by the cpe_versioned
         context filter, which examines each occurrence — basic.py:209-224)."""
         hits: list[Match] = []
-        if tokens is None:
-            tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
-        n_tok = len(tokens)
-        for width in self._widths:
-            pats = self._spans[width]
-            limit = n_tok - width + 1
-            for i in range(limit):
-                s = tokens[i][0]
-                e = tokens[i + width - 1][1]
-                if text_lower[s:e] in pats:
-                    hits.append(Match(s, e, text_lower[s:e]))
+        self._scan(text_lower, tokens, tok_strs,
+                   lambda pat, s, e: hits.append(Match(s, e, pat)))
         for pat in self._irregular:
             start = 0
             while True:

@@ -113,12 +113,13 @@ class NerTagger:
             set(surface_to_cat) | set(self._normalized))
 
     def tag(self, text: str,
-            tokens: list[tuple[int, int]] | None = None) -> dict[str, list[str]]:
+            tokens: list[tuple[int, int]] | None = None,
+            tok_strs: list[str] | None = None) -> dict[str, list[str]]:
         """raw_ner: {RAW_CATEGORY: [value, ...]}; values are the surface as
         it appears in the text, or the service's normalized form."""
         text_lower = text.lower()
         raw: dict[str, list[str]] = {}
-        for m in sorted(self._matcher.find(text_lower, tokens),
+        for m in sorted(self._matcher.find(text_lower, tokens, tok_strs),
                         key=lambda h: h.start):
             if m.pattern in self._normalized:
                 cat, surface = self._normalized[m.pattern]
@@ -277,11 +278,10 @@ def process_document(text: str,
     """
     text_lower = text.lower()
     # Tokenize once; every matcher (and the tagger) shares the spans.
-    from ..functions.matcher import TOKEN_RE
-    tokens = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text_lower)]
+    tokens, tok_strs = MultiPatternMatcher.tokenize(text_lower)
 
     if add_ner_score and tagger is not None:
-        raw_ner = tagger.tag(text, tokens=tokens)
+        raw_ner = tagger.tag(text, tokens=tokens, tok_strs=tok_strs)
         mapped_ner = map_ner_results(raw_ner)
         ner_lookup = build_ner_lookup(mapped_ner)
     else:
@@ -289,9 +289,18 @@ def process_document(text: str,
 
     results: dict[str, list[dict]] = {}
 
+    # ONE union scan covers every non-CPE label; per-label hit lists are
+    # filtered out of it (identical semantics — see CompiledCatalog).
+    union_hits: dict[str, list] = {}
+    if catalog.union_matcher is not None:
+        for m in catalog.union_matcher.find(text_lower, tokens, tok_strs):
+            for lbl in catalog.pattern_labels[m.pattern]:
+                union_hits.setdefault(lbl, []).append(m)
+
     for layer_type, matcher in catalog.matchers.items():
         if layer_type == "technique":
-            name_hits = _match_variants(text_lower, layer_type, catalog, tokens)
+            name_hits = _hits_from_matches(
+                union_hits.get("technique", ()), "technique", catalog)
             id_hits = _match_technique_ids(text, catalog)
             combined = {}
             for h in (*name_hits, *id_hits):
@@ -301,7 +310,7 @@ def process_document(text: str,
 
         elif layer_type == "cpe_versioned":
             filtered = []
-            for m in matcher.find_all_occurrences(text_lower, tokens):
+            for m in matcher.find_all_occurrences(text_lower, tokens, tok_strs):
                 node = catalog.variant_to_node["cpe_versioned"][m.pattern]
                 at_least = node["at_least"]
                 radius = at_least * char_len
@@ -323,7 +332,8 @@ def process_document(text: str,
             # else: faithful dead-code behaviour — emit nothing (M6)
 
         else:
-            hits = _match_variants(text_lower, layer_type, catalog, tokens)
+            hits = _hits_from_matches(
+                union_hits.get(layer_type, ()), layer_type, catalog)
             if hits:
                 results[layer_type] = hits
 
@@ -380,12 +390,12 @@ def process_document(text: str,
     return results, mapped_ner
 
 
-def _match_variants(text_lower: str, category: str,
-                    catalog: CompiledCatalog,
-                    tokens: list[tuple[int, int]] | None = None) -> list[dict]:
-    """M1 over one label (reference match_variants, basic.py:114-148)."""
+def _hits_from_matches(matches, category: str,
+                       catalog: CompiledCatalog) -> list[dict]:
+    """M1 hit records from matcher hits (reference match_variants,
+    basic.py:114-148)."""
     out = []
-    for m in catalog.matchers[category].find(text_lower, tokens):
+    for m in matches:
         node_info = catalog.variant_to_node[category][m.pattern]
         node = (node_info["node"]
                 if isinstance(node_info, dict) and "node" in node_info
@@ -401,6 +411,15 @@ def _match_variants(text_lower: str, category: str,
             hit["software_type"] = node["software_type"]
         out.append(hit)
     return out
+
+
+def _match_variants(text_lower: str, category: str,
+                    catalog: CompiledCatalog,
+                    tokens: list[tuple[int, int]] | None = None) -> list[dict]:
+    """Single-label M1 scan (kept for tests/direct use; process_document
+    uses the union matcher)."""
+    return _hits_from_matches(
+        catalog.matchers[category].find(text_lower, tokens), category, catalog)
 
 
 def _match_technique_ids(text: str, catalog: CompiledCatalog) -> list[dict]:

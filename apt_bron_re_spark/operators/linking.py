@@ -179,11 +179,17 @@ def semantic_links(residues: DataFrame,
             ])
         return pd.Series(out)
 
-    exploded = (
-        residues
+    # θ-join over DISTINCT values only — residue strings repeat massively
+    # across documents; the per-value match result is then equi-joined back
+    # to the (url, bucket) rows.  Cuts UDF volume from O(rows) to
+    # O(distinct values).
+    distinct_vals = residues.select("value").distinct()
+    val_matches = (
+        distinct_vals
         .withColumn("m", F.explode(match(F.col("value"))))
-        .select("url", "bucket", "value", "m.*")
+        .select("value", "m.*")
     )
+    exploded = residues.join(F.broadcast(val_matches), "value")
     return exploded.select(
         "url",
         "label",

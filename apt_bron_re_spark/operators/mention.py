@@ -7,8 +7,10 @@ residue filtering inside the same pass costs zero extra shuffles — the only
 wide operation this stage triggers downstream is whatever consumes it.
 
 Output is a single union-shaped DataFrame (``rec_type`` ∈ {mention,
-residue}) so the stage materializes exactly once; the two logical outputs
-are cheap filters over the stage table (see plans/pipeline.py).
+residue, error}) so the stage materializes exactly once; the logical
+outputs are cheap filters over the stage table (see plans/pipeline.py).
+``error`` rows carry per-document failures (the reference's catch-and-log,
+basic.py:300-301) so one malformed page never fails a task at scale.
 
 Scale notes:
   * the compiled catalog + tagger ride in the UDF closure — built once on
@@ -83,13 +85,24 @@ def detect_mentions(docs: DataFrame,
             ets = pdf[event_time_col] if event_time_col else None
             for i, (url, text) in enumerate(zip(pdf["url"], pdf["text"])):
                 extra = {event_time_col: ets.iloc[i]} if event_time_col else {}
-                results, residue = process_document(
-                    text, catalog, tagger,
-                    add_ner_score=add_ner_score,
-                    exact_score=exact_score,
-                    char_len=char_len,
-                    context_length=context_length,
-                )
+                try:
+                    results, residue = process_document(
+                        text, catalog, tagger,
+                        add_ner_score=add_ner_score,
+                        exact_score=exact_score,
+                        char_len=char_len,
+                        context_length=context_length,
+                    )
+                except Exception as exc:  # reference basic.py:300-301
+                    rows.append({
+                        **extra, "url": url, "rec_type": "error",
+                        "category": None, "name": None, "original_id": None,
+                        "value": f"{type(exc).__name__}: {exc}"[:500],
+                        "index": None, "alias": None, "software_type": None,
+                        "product": None, "vendor": None, "version": None,
+                        "ner_score": None, "sentence": None, "bucket": None,
+                    })
+                    continue
                 for category, entries in results.items():
                     for ent in entries:
                         rows.append({
@@ -138,3 +151,9 @@ def residue_view(stage: DataFrame) -> DataFrame:
     """The NER-residue rows: (url, bucket, value)."""
     return (stage.filter(F.col("rec_type") == "residue")
             .select("url", "bucket", "value"))
+
+
+def errors_view(stage: DataFrame) -> DataFrame:
+    """Per-document failures: (url, error)."""
+    return (stage.filter(F.col("rec_type") == "error")
+            .select("url", F.col("value").alias("error")))
