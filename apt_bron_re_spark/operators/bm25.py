@@ -29,11 +29,16 @@ _TOKEN_PATTERN = r"\b\w+\b"
 
 
 def doc_lengths(docs: DataFrame) -> DataFrame:
-    """docs(url, text) -> (url, dl): token count per document."""
+    """docs(url, text) -> (url, dl): token count per document.
+
+    Uses regexp_count, NOT size(regexp_extract_all(...)): the latter
+    materializes every token as a JVM string (~1-2k allocations per page),
+    and the resulting GC pressure anti-scales with executor threads.
+    """
     return docs.select(
         "url",
-        F.size(F.regexp_extract_all(F.lower(F.col("text")),
-                                    F.lit(_TOKEN_PATTERN), F.lit(0))).alias("dl"),
+        F.regexp_count(F.lower(F.col("text")),
+                       F.lit(_TOKEN_PATTERN)).alias("dl"),
     )
 
 
