@@ -65,25 +65,20 @@ def add_bm25(mentions: DataFrame, docs: DataFrame,
     scored = mentions.filter(F.col("category").isin(labels))
     passthrough = mentions.filter(~F.col("category").isin(labels))
 
-    keyed = scored.withColumn(
-        "bm25_key", F.lower(F.coalesce(F.col("original_id"), F.col("name"), F.lit(""))))
+    key_expr = F.lower(F.coalesce(F.col("original_id"), F.col("name"), F.lit("")))
 
-    # A3: term frequency per (category, url, key) via a window (one shuffle,
-    # no self-join); doc frequency per (category, key) via agg + shuffle
-    # join.  tf counts hit entries after dedup, exactly like the reference
+    # A3 stats on NARROW projections only — the wide mention rows (which
+    # carry context sentences) are never shuffled for stat computation.
+    # tf counts hit entries after dedup, exactly like the reference
     # counting entries in the deduped hit files (statistics.py:37-40).
-    # Neither side is broadcast: both scale with the data; only the 1-row
-    # stats DF is.
-    from pyspark.sql import Window
-    w_tf = Window.partitionBy("category", "url", "bm25_key")
-    keyed = keyed.withColumn("f", F.count("*").over(w_tf))
+    tf = (scored.select("category", "url", key_expr.alias("bm25_key"))
+          .groupBy("category", "url", "bm25_key")
+          .agg(F.count("*").alias("f")))
+    df_ = (tf.groupBy("category", "bm25_key")
+           .agg(F.count("*").alias("n")))          # tf is 1 row per (url,key)
 
-    df_ = (keyed.groupBy("category", "bm25_key")
-           .agg(F.countDistinct("url").alias("n")))
-
-    out = (
-        keyed
-        .join(df_, ["category", "bm25_key"], "left")
+    score_table = (
+        tf.join(df_, ["category", "bm25_key"])
         .join(dls, ["url"], "left")
         .crossJoin(F.broadcast(stats))
         .withColumn("dl", F.coalesce(F.col("dl"), F.col("avgdl")))
@@ -93,12 +88,21 @@ def add_bm25(mentions: DataFrame, docs: DataFrame,
         .withColumn(
             "denom",
             F.col("f") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-        .withColumn(
-            "bm25_score",
+        .select(
+            "category", "url", "bm25_key",
             F.when(F.col("denom") != 0.0,
                    F.round(F.col("idf") * (F.col("f") * (k1 + 1.0)) / F.col("denom"), 4))
-            .otherwise(F.lit(0.0)))
-        .drop("bm25_key", "f", "n", "dl", "m", "avgdl", "idf", "denom")
+            .otherwise(F.lit(0.0)).alias("bm25_score"))
+    )
+
+    # ONE join attaches scores to the wide rows.  The score table is tiny
+    # relative to the mentions (1 row per distinct (doc, entity)); with AQE
+    # + the 64MB autoBroadcast threshold it broadcasts at bench scales and
+    # falls back to a single shuffle join beyond that.
+    out = (
+        scored.withColumn("bm25_key", key_expr)
+        .join(score_table, ["category", "url", "bm25_key"], "left")
+        .drop("bm25_key")
     )
 
     return out.unionByName(
