@@ -95,10 +95,9 @@ def add_bm25(mentions: DataFrame, docs: DataFrame,
             .otherwise(F.lit(0.0)).alias("bm25_score"))
     )
 
-    # ONE join attaches scores to the wide rows.  The score table is tiny
-    # relative to the mentions (1 row per distinct (doc, entity)); with AQE
-    # + the 64MB autoBroadcast threshold it broadcasts at bench scales and
-    # falls back to a single shuffle join beyond that.
+    # ONE join attaches scores to the wide rows.  The score table scales
+    # with the data (1 row per distinct (doc, entity)) so it is shuffle-
+    # joined, not broadcast — broadcast builds are serial driver work.
     out = (
         scored.withColumn("bm25_key", key_expr)
         .join(score_table, ["category", "url", "bm25_key"], "left")

@@ -257,12 +257,12 @@ def merge_links(mentions: DataFrame, links: DataFrame
     m = mentions.withColumn(
         "oid_l", F.lower(F.coalesce("original_id", F.lit(""))))
 
-    # `best` is bounded by the NER residue links — orders of magnitude
-    # smaller than the mention table — so broadcasting it keeps the wide
-    # mention rows from shuffling at all.  (At extreme link volumes drop
-    # the hint and bucket both sides by url.)
+    # `best` scales with the data (one row per linked doc-entity), so it is
+    # NOT broadcast: collecting a data-sized side to the driver serializes
+    # the stage.  AQE may still pick a broadcast at runtime when it is
+    # genuinely small.
     merged = (
-        m.join(F.broadcast(best), ["url", "category", "oid_l"], "left")
+        m.join(best, ["url", "category", "oid_l"], "left")
         .withColumn(
             "ner_score",
             F.when(F.col("link_ner_score").isNotNull(),

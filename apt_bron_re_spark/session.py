@@ -35,7 +35,9 @@ def get_spark(app_name: str = "apt_bron_re_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default 10MB broadcast threshold on purpose: broadcast builds are
+        # single-threaded driver work — a data-sized build side serializes
+        # the whole stage.  Only dimension tables should broadcast.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
