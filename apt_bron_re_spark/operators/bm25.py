@@ -42,18 +42,22 @@ def doc_lengths(docs: DataFrame) -> DataFrame:
     )
 
 
-def add_bm25(mentions: DataFrame, docs: DataFrame,
+def add_bm25(mentions: DataFrame, docs: DataFrame | None = None,
              k1: float = BM25_K1, b: float = BM25_B,
-             labels: list[str] | None = None) -> DataFrame:
+             labels: list[str] | None = None,
+             dls: DataFrame | None = None) -> DataFrame:
     """Attach ``bm25_score`` to mention rows of the scored labels.
 
     Rows of other categories (cve, ...) pass through with NULL score,
     mirroring the reference which only scores BM25_LABELS
-    (statistics.py:36).
+    (statistics.py:36).  Pass ``dls(url, dl)`` when doc lengths were
+    already computed upstream (the mention stage emits them for free);
+    otherwise they are derived from ``docs(url, text)``.
     """
     labels = labels or BM25_LABELS
 
-    dls = doc_lengths(docs)
+    if dls is None:
+        dls = doc_lengths(docs)
 
     # 1-row corpus stats; broadcast-crossjoined (never a driver collect, so
     # the plan stays lazy and resumable).

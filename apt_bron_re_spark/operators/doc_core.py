@@ -270,11 +270,14 @@ def process_document(text: str,
                      char_len: int = 75,
                      context_length: int = 15,
                      enable_cpe_unversioned: bool = False,
-                     ) -> tuple[dict[str, list[dict]], dict[str, list[str]]]:
+                     ) -> tuple[dict[str, list[dict]], dict[str, list[str]], int]:
     """Faithful re-expression of process_folder's per-file body
     (basic.py:194-292) + inline A2 context sentences.
 
-    Returns (results, mapped_ner_residue).
+    Returns (results, mapped_ner_residue, dl) where dl is the
+    ``\\b\\w+\\b`` token count of the document — the reference's BM25 doc
+    length (statistics.py:28), free here because the context index already
+    tokenized the text.
     """
     text_lower = text.lower()
     # Tokenize once; every matcher (and the tagger) shares the spans.
@@ -387,7 +390,7 @@ def process_document(text: str,
                 ent["sentence"] = ctx.sentence(idx)
         results[category] = deduped
 
-    return results, mapped_ner
+    return results, mapped_ner, len(ctx.spans)
 
 
 def _hits_from_matches(matches, category: str,

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 
 from ..catalog.build import compile_catalog
 from ..config import CONTEXT_LENGTH, CPE_CHAR_RANGE, NER_MATCH_SCORE
+from ..functions.extract_text import extract_text
 from .doc_core import NerTagger, process_document
 
 MENTION_SCHEMA = T.StructType([
@@ -61,17 +62,22 @@ def detect_mentions(docs: DataFrame,
                     exact_score: float = NER_MATCH_SCORE,
                     char_len: int = CPE_CHAR_RANGE,
                     context_length: int = CONTEXT_LENGTH,
-                    event_time_col: str | None = None) -> DataFrame:
-    """docs(url, text) -> union table of mention + residue rows.
+                    event_time_col: str | None = None,
+                    from_html: bool = False) -> DataFrame:
+    """docs(url, text) -> union table of doc + mention + residue rows.
 
     ``event_time_col`` (streaming): a timestamp column carried through the
     UDF so windowed aggregations downstream need no stream-stream join.
+    ``from_html``: fuse E1 into this pass — input is pages(url, html) and
+    the byte-identical ``extract_text`` runs inside the same UDF, skipping
+    the materialized docs table entirely (the deployment profile; the
+    unfused path keeps the extract checkpoint).
     """
     catalog = compile_catalog(layer_map)
     tagger = NerTagger(layer_map) if add_ner_score else None
 
     schema = MENTION_SCHEMA
-    in_cols = ["url", "text"]
+    in_cols = ["url", "html" if from_html else "text"]
     if event_time_col:
         schema = T.StructType(
             MENTION_SCHEMA.fields
@@ -83,10 +89,13 @@ def detect_mentions(docs: DataFrame,
         for pdf in batches:
             rows: list[dict] = []
             ets = pdf[event_time_col] if event_time_col else None
-            for i, (url, text) in enumerate(zip(pdf["url"], pdf["text"])):
+            payload = pdf["html"] if from_html else pdf["text"]
+            for i, (url, text) in enumerate(zip(pdf["url"], payload)):
                 extra = {event_time_col: ets.iloc[i]} if event_time_col else {}
+                if from_html:
+                    text = extract_text(text)
                 try:
-                    results, residue = process_document(
+                    results, residue, dl = process_document(
                         text, catalog, tagger,
                         add_ner_score=add_ner_score,
                         exact_score=exact_score,
@@ -103,6 +112,16 @@ def detect_mentions(docs: DataFrame,
                         "ner_score": None, "sentence": None, "bucket": None,
                     })
                     continue
+                # one 'doc' row per document carries dl (BM25 doc length,
+                # reference statistics.py:28) — no second pass over text
+                rows.append({
+                    **extra, "url": url, "rec_type": "doc",
+                    "category": None, "name": None, "original_id": None,
+                    "value": None, "index": dl, "alias": None,
+                    "software_type": None, "product": None, "vendor": None,
+                    "version": None, "ner_score": None, "sentence": None,
+                    "bucket": None,
+                })
                 for category, entries in results.items():
                     for ent in entries:
                         rows.append({
@@ -140,6 +159,12 @@ def detect_mentions(docs: DataFrame,
             yield pd.DataFrame(rows, columns=out_cols)
 
     return docs.select(*in_cols).mapInPandas(run, schema)
+
+
+def doc_lengths_view(stage: DataFrame) -> DataFrame:
+    """(url, dl) from the per-document rows — BM25 doc lengths."""
+    return (stage.filter(F.col("rec_type") == "doc")
+            .select("url", F.col("index").cast("int").alias("dl")))
 
 
 def mentions_view(stage: DataFrame) -> DataFrame:

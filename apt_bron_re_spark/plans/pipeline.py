@@ -42,7 +42,12 @@ class Pipeline:
                  n_buckets: int = 32,
                  semantic: bool = True,
                  sim_threshold: float = SIM_THRESHOLD,
-                 lang: str | None = "en") -> None:
+                 lang: str | None = "en",
+                 fuse_extract: bool = False) -> None:
+        """``fuse_extract=True`` runs E1 inside the mention UDF and skips
+        materializing the docs table (half the stage-table IO; the same
+        byte-identical extractor).  The unfused default keeps the extract
+        checkpoint for stage-level resume granularity."""
         self.spark = spark
         self.layer_map = layer_map
         self.base = Path(base_dir)
@@ -50,6 +55,7 @@ class Pipeline:
         self.semantic = semantic
         self.sim_threshold = sim_threshold
         self.lang = lang
+        self.fuse_extract = fuse_extract
         self.log = LineageLog(spark, base_dir)
         self._catalog_fp = fingerprint(layer_map)
 
@@ -91,17 +97,28 @@ class Pipeline:
     # -- stages -----------------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = True) -> DataFrame:
         fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
-        docs = self._run_stage(
-            "extract", fp0,
-            lambda: self._bucketed(extract_docs(pages, self.lang)),
-            "docs", partition_by=["pbucket"], resume=resume)
+        if self.fuse_extract:
+            fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention", "fused")
+            filtered = (pages.filter(F.col("lang") == self.lang)
+                        if self.lang is not None else pages)
+            stage2 = self._run_stage(
+                "mention", fp1,
+                lambda: self._bucketed(mention.detect_mentions(
+                    filtered.select("url", "html"), self.layer_map,
+                    from_html=True)),
+                "mentions", partition_by=["pbucket"], resume=resume)
+        else:
+            docs = self._run_stage(
+                "extract", fp0,
+                lambda: self._bucketed(extract_docs(pages, self.lang)),
+                "docs", partition_by=["pbucket"], resume=resume)
 
-        fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention")
-        stage2 = self._run_stage(
-            "mention", fp1,
-            lambda: self._bucketed(
-                mention.detect_mentions(docs.drop("pbucket"), self.layer_map)),
-            "mentions", partition_by=["pbucket"], resume=resume)
+            fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention")
+            stage2 = self._run_stage(
+                "mention", fp1,
+                lambda: self._bucketed(
+                    mention.detect_mentions(docs.drop("pbucket"), self.layer_map)),
+                "mentions", partition_by=["pbucket"], resume=resume)
 
         mentions = mention.mentions_view(stage2)
         residues = mention.residue_view(stage2)
@@ -112,7 +129,10 @@ class Pipeline:
             # scored + links feed BOTH outputs (linked, links_residual);
             # persist so the residual write doesn't recompute the whole
             # BM25 + linking lineage a second time for the linked write.
-            scored = bm25.add_bm25(mentions, docs.select("url", "text")).persist()
+            # dl comes free from the mention stage's 'doc' rows — no text
+            # re-scan.
+            scored = bm25.add_bm25(
+                mentions, dls=mention.doc_lengths_view(stage2)).persist()
             links = linking.build_links(
                 residues, self.layer_map,
                 semantic=self.semantic, threshold=self.sim_threshold).persist()

@@ -79,3 +79,20 @@ def test_rerun_without_resume_is_deterministic(spark, layer_map, triples,
     b = {(r.subj, r.pred, r.obj, tuple(r.sources), r.score)
          for r in t2.collect()}
     assert a == b
+
+
+def test_fused_extract_mode_identical(spark, layer_map, triples,
+                                      tmp_path_factory):
+    # fuse_extract runs E1 inside the mention UDF; triples must be
+    # identical to the staged mode.
+    base3 = tmp_path_factory.mktemp("stages_fused")
+    p3 = Pipeline(spark, layer_map, base3, n_buckets=8, fuse_extract=True)
+    t3 = p3.run(pages_df(spark, N_PAGES), resume=False)
+    a = {(r.subj, r.pred, r.obj, tuple(r.sources), r.score)
+         for r in triples.collect()}
+    b = {(r.subj, r.pred, r.obj, tuple(r.sources), r.score)
+         for r in t3.collect()}
+    assert a == b
+    # and the docs table was never written
+    import os
+    assert not os.path.exists(str(base3 / "docs"))

@@ -48,7 +48,7 @@ def gold_rows(layer_map):
     for i, page in enumerate(generate_pages(N_PAGES)):
         if page["lang"] != "en":
             continue
-        results, residue = process_document(page["text"], catalog, tagger)
+        results, residue, _dl = process_document(page["text"], catalog, tagger)
         for category, entries in results.items():
             for e in entries:
                 mention_rows.add((
