@@ -63,7 +63,8 @@ def run_kg_pipeline(spark, sf: float, workdir: str) -> tuple[float, int]:
     pages = spark.read.parquet(pages_path)
 
     base = os.path.join(workdir, "stages")
-    pipe = Pipeline(spark, build_layer_map(), base, n_buckets=32)
+    pipe = Pipeline(spark, build_layer_map(), base, n_buckets=32,
+                    fuse_extract=True)
     t0 = time.time()
     triples = pipe.run(pages, resume=False)
     n_triples = triples.count()
