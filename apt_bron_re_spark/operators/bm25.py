@@ -31,15 +31,18 @@ _TOKEN_PATTERN = r"\b\w+\b"
 def doc_lengths(docs: DataFrame) -> DataFrame:
     """docs(url, text) -> (url, dl): token count per document.
 
-    Uses regexp_count, NOT size(regexp_extract_all(...)): the latter
-    materializes every token as a JVM string (~1-2k allocations per page),
-    and the resulting GC pressure anti-scales with executor threads.
+    dl = number of \\w+ runs, computed as a length difference of two
+    regexp_replace passes.  NOT size(regexp_extract_all(...)) — that
+    materializes every token as a JVM string (~1-2k allocations per page)
+    and the GC pressure anti-scales with executor threads (regexp_count is
+    a RuntimeReplaceable that rewrites to exactly that, so it doesn't help).
+    The pipeline itself gets dl for free from the mention stage
+    (mention.doc_lengths_view); this function serves standalone use.
     """
-    return docs.select(
-        "url",
-        F.regexp_count(F.lower(F.col("text")),
-                       F.lit(_TOKEN_PATTERN)).alias("dl"),
-    )
+    s = F.lower(F.col("text"))
+    collapsed = F.length(F.regexp_replace(s, r"\w+", "#"))
+    removed = F.length(F.regexp_replace(s, r"\w+", ""))
+    return docs.select("url", (collapsed - removed).cast("int").alias("dl"))
 
 
 def add_bm25(mentions: DataFrame, docs: DataFrame | None = None,
