@@ -71,5 +71,34 @@ class LineageLog:
         (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
          .coalesce(1).write.mode("append").parquet(self.path))
 
+    def completed_buckets(self, stage: str, fp: str) -> set[int]:
+        """Buckets with a lineage row for this (stage, fingerprint) —
+        the per-partition checkpoint set used for mid-stage resume."""
+        df = self._read()
+        if df is None:
+            return set()
+        rows = (df.filter((F.col("stage") == stage)
+                          & (F.col("fingerprint") == fp)
+                          & (F.col("bucket") >= 0))
+                .select("bucket").distinct().collect())
+        return {r.bucket for r in rows}
+
+    def record_buckets(self, stage: str, fp: str, bucket_counts: dict[int, int],
+                       wall_s: float) -> None:
+        """Append per-bucket rows only (no summary row) — one chunk of an
+        incrementally-executed stage."""
+        now = time.time()
+        rows = [(stage, fp, int(b), int(n), wall_s, now)
+                for b, n in bucket_counts.items()]
+        (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(self.path))
+
+    def record_summary(self, stage: str, fp: str, n_rows: int,
+                       wall_s: float) -> None:
+        now = time.time()
+        (self.spark.createDataFrame(
+            [(stage, fp, -1, int(n_rows), wall_s, now)], LINEAGE_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(self.path))
+
     def metrics(self) -> DataFrame | None:
         return self._read()

@@ -160,3 +160,64 @@ class Pipeline:
 
     def triples(self) -> DataFrame:
         return self._read("triples")
+
+    # -- per-partition incremental execution --------------------------------
+    def run_mention_incremental(self, pages: DataFrame,
+                                n_chunks: int = 4,
+                                max_chunks: int | None = None) -> bool:
+        """Execute the (fused) mention stage in bucket-group chunks with a
+        per-bucket lineage checkpoint after each chunk — the north-star
+        resume mechanism: kill the job between chunks and a re-run
+        anti-joins the completed buckets out of the input and appends only
+        the missing ones.  Idempotence: a chunk's parquet files become
+        visible only at job commit, so a mid-chunk kill leaves no partial
+        rows.
+
+        ``max_chunks`` processes at most that many chunks (test hook to
+        simulate interruption).  Returns True when the stage is complete
+        (summary lineage row written).
+        """
+        fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
+        fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention", "fused")
+        if self.log.is_complete("mention", fp1):
+            return True
+
+        filtered = (pages.filter(F.col("lang") == self.lang)
+                    if self.lang is not None else pages)
+        filtered = filtered.withColumn(
+            "pbucket",
+            F.pmod(F.crc32(F.col("url")), F.lit(self.n_buckets)).cast("int"))
+
+        done = self.log.completed_buckets("mention", fp1)
+        all_buckets = list(range(self.n_buckets))
+        pending = [b for b in all_buckets if b not in done]
+        chunk_size = max(1, (len(all_buckets) + n_chunks - 1) // n_chunks)
+        chunks = [pending[i:i + chunk_size]
+                  for i in range(0, len(pending), chunk_size)]
+
+        processed = 0
+        for chunk in chunks:
+            if max_chunks is not None and processed >= max_chunks:
+                return False
+            t0 = time.time()
+            part = filtered.filter(F.col("pbucket").isin(chunk))
+            out = mention.detect_mentions(
+                part.select("url", "html"), self.layer_map, from_html=True)
+            out = self._bucketed(out)
+            (out.repartition(*[F.col("pbucket")])
+             .write.mode("append").partitionBy("pbucket")
+             .parquet(self._path("mentions")))
+            written = self._read("mentions").filter(
+                F.col("pbucket").isin(chunk))
+            counts = {r["pbucket"]: r["n"] for r in
+                      written.groupBy("pbucket")
+                      .agg(F.count("*").alias("n")).collect()}
+            # buckets with zero rows still checkpoint
+            for b in chunk:
+                counts.setdefault(b, 0)
+            self.log.record_buckets("mention", fp1, counts, time.time() - t0)
+            processed += 1
+
+        total = self._read("mentions").count()
+        self.log.record_summary("mention", fp1, total, 0.0)
+        return True
