@@ -68,8 +68,27 @@ def evidence(mentions_linked: DataFrame,
 
 
 def materialize_triples(ev: DataFrame,
-                        predicate_map: dict | None = None) -> DataFrame:
-    """evidence -> triples(subj, pred, obj, sources, justification, score)."""
+                        predicate_map: dict | None = None,
+                        max_sources: int = 64,
+                        n_salts: int = 16) -> DataFrame:
+    """evidence -> triples(subj, pred, obj, sources, n_sources,
+    justification, score).
+
+    Hub-entity skew handling (north_rule "salted skew handling"): at
+    10^12-doc scale a hub edge's source set has millions of urls, so a
+    plain collect_set explodes one reducer.  The source list is therefore
+    aggregated in TWO salted phases, each memory-bounded:
+
+      phase 1: group by (subj, pred, obj, salt=crc32(url)%n_salts), keep
+               only the ``max_sources`` lexicographically-smallest urls;
+      phase 2: merge the per-salt lists and keep the smallest
+               ``max_sources`` again.
+
+    Because the global k smallest urls are each among their own salt's k
+    smallest, the result is EXACTLY the k smallest source urls —
+    deterministic and bounded.  ``n_sources`` carries the exact distinct
+    source count (algebraic, skew-safe).
+    """
     predicate_map = predicate_map or PREDICATE_MAP
     spark = ev.sparkSession
     preds = spark.createDataFrame(
@@ -93,12 +112,32 @@ def materialize_triples(ev: DataFrame,
                             F.greatest("obj_score", F.lit(0.0))))
     )
 
-    return (
-        pairs.groupBy("subj", "pred", "obj")
+    best_j = F.max(F.struct(F.col("pair_score").alias("s"), "justification"))
+
+    per_salt = (
+        pairs
+        .withColumn("salt", F.pmod(F.crc32("url"), F.lit(n_salts)))
+        .groupBy("subj", "pred", "obj", "salt")
         .agg(
-            F.sort_array(F.collect_set("url")).alias("sources"),
-            F.max(F.struct(F.col("pair_score").alias("s"), "justification"))
+            F.slice(F.sort_array(F.collect_set("url")), 1, max_sources)
+             .alias("salt_sources"),
+            F.countDistinct("url").alias("salt_n"),
+            best_j.alias("bj"),
+            F.max("pair_score").alias("salt_score"),
+        )
+    )
+
+    return (
+        per_salt.groupBy("subj", "pred", "obj")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list("salt_sources")))),
+                1, max_sources).alias("sources"),
+            F.sum("salt_n").alias("n_sources"),
+            F.max(F.struct(F.col("bj.s").alias("s"),
+                           F.col("bj.justification")))
              .getField("justification").alias("justification"),
-            F.round(F.max("pair_score"), 4).alias("score"),
+            F.round(F.max("salt_score"), 4).alias("score"),
         )
     )

@@ -29,7 +29,8 @@ def triples(spark, pipeline):
 def test_triples_shape(triples):
     assert triples.count() > 0
     assert set(triples.columns) == {
-        "subj", "pred", "obj", "sources", "justification", "score"}
+        "subj", "pred", "obj", "sources", "n_sources", "justification",
+        "score"}
     preds = {r.pred for r in triples.select("pred").distinct().collect()}
     assert "uses" in preds and "exploits" in preds
 
