@@ -83,6 +83,10 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
 
+    # untimed warmup: session/Arrow/codegen spin-up shouldn't land on the
+    # first measured query
+    force(SPARK_QUERIES["lang_stats"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
