@@ -35,6 +35,10 @@ def get_spark(app_name: str = "apt_bron_re_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # zstd halves stage-table bytes vs snappy: the shared-disk IO is
+        # the main non-scaling resource in single-box runs, and scan-bound
+        # stages win at cluster scale too
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # default 10MB broadcast threshold on purpose: broadcast builds are
         # single-threaded driver work — a data-sized build side serializes
         # the whole stage.  Only dimension tables should broadcast.
