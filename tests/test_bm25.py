@@ -54,3 +54,20 @@ def test_bm25_hand_computed(spark):
     # cve row passes through with NULL score
     assert by_key[("u1", None, 3)] is None
     assert out.count() == 5
+
+
+def test_bm25_rank(spark):
+    from apt_bron_re_spark.operators.bm25 import bm25_rank
+    rows = [
+        ("u1", "group", 3.0, 10), ("u1", "group", 1.0, 5),
+        ("u1", "cve", 2.0, 1), ("u2", "group", 9.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, category string, bm25_score double, index long")
+    got = {(r.url, r.category, r["index"]): r.bm25_rank
+           for r in bm25_rank(df).collect()}
+    # per (url, category) descending-score rank (reference statistics.py:72-73)
+    assert got[("u1", "group", 10)] == 1
+    assert got[("u1", "group", 5)] == 2
+    assert got[("u1", "cve", 1)] == 1
+    assert got[("u2", "group", 2)] == 1
