@@ -75,12 +75,36 @@ def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
         from apt_bron_re_spark.operators.multimodal import synth_assets, asset_features
         return asset_features(synth_assets(spark, 200))
 
+    def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from apt_bron_re_spark.operators.similarity import lsh_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries_df = (emb.filter("vec_id < 5")
+                      .select(F.col("vec_id").alias("q_id"),
+                              F.col("embedding").alias("q_emb")))
+        dim = len(emb.select("embedding").first()[0])
+        return lsh_topk(emb, queries_df, dim=dim, k=5)
+
+    def shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apt_bron_re_spark.operators.textstats import shared_passage_pairs
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return shared_passage_pairs(docs, min_shared=2)
+
+    def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from apt_bron_re_spark.operators.textstats import language_id
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return language_id(docs)
+
     return {
         "kg_triples": kg_triples,
         "connected_components": connected_components,
         "minhash_dedup": minhash_dedup,
         "simhash_docs": simhash_docs,
         "multimodal_meta": multimodal_meta,
+        "ann_lsh_topk": ann_lsh_topk,
+        "shared_passages": shared_passages,
+        "lang_id_pred": lang_id_pred,
     }
 
 
