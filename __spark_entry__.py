@@ -37,7 +37,12 @@ def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The full 5-stage KG pipeline on the deterministic synthetic page
         # corpus (independent of sf_dir; scale pinned for the rows-check).
+        # Contract surface is array-free: ``sources`` (already a sorted
+        # array) is projected to a csv string so the driver's row
+        # canonicalizer can sort/hash it; the stage table keeps the array.
         import tempfile
+
+        from pyspark.sql import functions as F
 
         from apt_bron_re_spark.catalog.synthetic import build_layer_map
         from apt_bron_re_spark.plans.pipeline import Pipeline
@@ -45,66 +50,24 @@ def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
         base = tempfile.mkdtemp(prefix="kg_triples_")
         pipe = Pipeline(spark, build_layer_map(), base, n_buckets=8)
-        return pipe.run(pages_df(spark, 60))
-
-    def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # CC over the bipartite user/event-type graph of the events table.
-        from pyspark.sql import functions as F
-
-        from apt_bron_re_spark.operators.canonicalize import (
-            connected_components as cc,
-        )
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        edges = ev.select(
-            F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
-            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
-        ).distinct()
-        return cc(edges)
-
-    def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from apt_bron_re_spark.operators.dedup import minhash_candidates
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return minhash_candidates(docs)
-
-    def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from apt_bron_re_spark.operators.dedup import simhash
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return simhash(docs)
+        return pipe.run(pages_df(spark, 60)).withColumn(
+            "sources", F.concat_ws(",", F.col("sources")))
 
     def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from apt_bron_re_spark.operators.multimodal import synth_assets, asset_features
-        return asset_features(synth_assets(spark, 200))
-
-    def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # feature array -> csv of 4-dp floats for the driver's row hash;
+        # the real operator keeps array<float>.
         from pyspark.sql import functions as F
 
-        from apt_bron_re_spark.operators.similarity import lsh_topk
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        queries_df = (emb.filter("vec_id < 5")
-                      .select(F.col("vec_id").alias("q_id"),
-                              F.col("embedding").alias("q_emb")))
-        dim = len(emb.select("embedding").first()[0])
-        return lsh_topk(emb, queries_df, dim=dim, k=5)
-
-    def shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from apt_bron_re_spark.operators.textstats import shared_passage_pairs
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return shared_passage_pairs(docs, min_shared=2)
-
-    def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from apt_bron_re_spark.operators.textstats import language_id
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return language_id(docs)
+        from apt_bron_re_spark.operators.multimodal import synth_assets, asset_features
+        feats = asset_features(synth_assets(spark, 200))
+        return feats.withColumn(
+            "feature",
+            F.concat_ws(",", F.transform(
+                "feature", lambda x: F.round(x.cast("double"), 4).cast("string"))))
 
     return {
         "kg_triples": kg_triples,
-        "connected_components": connected_components,
-        "minhash_dedup": minhash_dedup,
-        "simhash_docs": simhash_docs,
         "multimodal_meta": multimodal_meta,
-        "ann_lsh_topk": ann_lsh_topk,
-        "shared_passages": shared_passages,
-        "lang_id_pred": lang_id_pred,
     }
 
 

@@ -2,38 +2,75 @@
 
 Beyond the reference's exact per-report dedup (A1, basic.py:304-340), a
 100 TB corpus pipeline needs near-duplicate detection.  All operators here
-are deterministic (seed-free stable hashing via crc32/md5 column functions
-or blake2b in vectorized UDFs) and shuffle-lean:
+are deterministic AND fully JVM-side (pure column expressions, whole-stage
+codegen — no Python UDFs in any hot path):
 
   * exact_duplicates      — hash-groupBy on md5(text)
-  * minhash_candidates    — shingle -> 64-perm MinHash -> LSH banding ->
-                            bucket self-join (candidate pairs only; no
+  * minhash_candidates    — word-shingle -> 64-perm MinHash -> LSH banding
+                            -> bucket self-join (candidate pairs only; no
                             quadratic blowup)
-  * simhash               — 64-bit SimHash per doc (Hamming-ball near-dup)
-  * ngram_jaccard         — exact Jaccard verification for candidate pairs
+  * simhash               — 60-bit SimHash per doc (Hamming-ball near-dup)
+  * simhash_near_pairs    — pigeonhole chunk blocking with a RECALL
+                            GUARANTEE: max_hamming+1 chunks, so any pair
+                            within the Hamming budget shares >= 1 exact
+                            chunk (cannot be missed), then exact verify
+  * ngram_jaccard_pairs   — exact Jaccard verification for candidate pairs
                             (the verify step after LSH)
 
-Scale notes: MinHash signatures are computed in one Arrow batch pass
-(numpy, vectorized over shingles); banding explodes to (band, band_hash)
-keys so the self-join is an equi-join on bucket — the classic
-LSH-candidate plan whose shuffle is O(docs x bands), not O(docs^2).
+Hash design (shared with the DuckDB oracles in queries.py so every
+operator is value-checkable end-to-end): the base hash of a token/shingle
+is the first 15 hex digits of md5 parsed as a 60-bit int — computable as
+``conv(substr(md5(x),1,15),16,10)`` in Spark and
+``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB.  MinHash permutations
+are the classic ``(a*h + b) mod p`` universal family with the public
+MLlib MinHashLSH prime p = 2038074743 (< 2^31), which keeps every product
+within int64 in both engines.  (a_i, b_i) are deterministic blake2b-seeded
+constants.
+
+Scale notes: signatures are computed by an explode + algebraic min/sum
+groupBy — map-side partial aggregation collapses the shingle rows before
+the shuffle, so the shuffle carries one 64-long row per (doc, partition).
+Banding explodes to (band, band_hash) keys so the self-join is an
+equi-join on bucket — the classic LSH-candidate plan whose shuffle is
+O(docs x bands), not O(docs^2).
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 N_PERM = 64          # minhash permutations
 N_BANDS = 16         # LSH bands (4 rows/band)
 ROWS_PER_BAND = N_PERM // N_BANDS
-_MERSENNE = (1 << 61) - 1
+MINHASH_PRIME = 2038074743          # MLlib MinHashLSH prime, < 2^31
+SHINGLE_K = 3
+SIMHASH_BITS = 60                   # 15 hex digits of md5
+
+
+def _perm_params() -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficients for N_PERM universal hashes,
+    a in [1, p-1], b in [0, p-1]."""
+    a, b = [], []
+    for i in range(N_PERM):
+        da = hashlib.blake2b(f"minhash-a-{i}".encode(), digest_size=8).digest()
+        db = hashlib.blake2b(f"minhash-b-{i}".encode(), digest_size=8).digest()
+        a.append(int.from_bytes(da, "little") % (MINHASH_PRIME - 1) + 1)
+        b.append(int.from_bytes(db, "little") % MINHASH_PRIME)
+    return a, b
+
+
+def _md5_60(col: Column) -> Column:
+    """First 60 bits of md5 as a positive long (same value as the DuckDB
+    expression ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _words(text_col: Column) -> Column:
+    """Whitespace tokens, Python-str.split() semantics (no empties)."""
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -47,50 +84,35 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _perm_params() -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) coefficients for N_PERM universal hashes."""
-    a = np.empty(N_PERM, dtype=np.uint64)
-    b = np.empty(N_PERM, dtype=np.uint64)
-    for i in range(N_PERM):
-        da = hashlib.blake2b(f"minhash-a-{i}".encode(), digest_size=8).digest()
-        db = hashlib.blake2b(f"minhash-b-{i}".encode(), digest_size=8).digest()
-        a[i] = (int.from_bytes(da, "little") % (_MERSENNE - 1)) + 1
-        b[i] = int.from_bytes(db, "little") % _MERSENNE
-    return a, b
-
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """crc32 of each k-word shingle (whitespace tokens)."""
-    toks = text.split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks))
-    out = {
-        zlib.crc32(" ".join(toks[i:i + k]).encode("utf-8"))
-        for i in range(len(toks) - k + 1)
-    }
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
-
-
-_SIG_SCHEMA = T.ArrayType(T.LongType())
-
-
-@F.pandas_udf(_SIG_SCHEMA)
-def _minhash_sig_udf(texts: pd.Series) -> pd.Series:
-    a, b = _perm_params()
-    out = []
-    for text in texts:
-        sh = _shingle_hashes(text or "")
-        if sh.size == 0:
-            out.append([0] * N_PERM)
-            continue
-        # (perm, shingle) universal hashing, vectorized: min over shingles
-        hashed = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-        out.append([int(x) for x in hashed.min(axis=1)])
-    return pd.Series(out)
+def shingle_hash_col(text_col: Column, k: int = SHINGLE_K) -> Column:
+    """Array of 60-bit hashes of the k-word shingles of ``text_col``,
+    reduced mod MINHASH_PRIME.  Documents shorter than k words yield one
+    shingle of all their words (possibly the empty string)."""
+    toks = _words(text_col)
+    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.transform(shingles, lambda s: _md5_60(s) % MINHASH_PRIME)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", _minhash_sig_udf(F.col(text_col)).alias("sig"))
+    """(doc_id, sig: array<long>[N_PERM]) — min over shingles of
+    (a_i*h + b_i) mod p per permutation.  Explode + 64 algebraic min aggs:
+    map-side combine keeps the shuffle at one row per (doc, partition)."""
+    a, b = _perm_params()
+    hashes = docs.select(
+        "doc_id",
+        F.explode(shingle_hash_col(F.col(text_col))).alias("hh"))
+    aggs = [
+        F.min((F.col("hh") * F.lit(a[i]) + F.lit(b[i])) % MINHASH_PRIME)
+        .alias(f"s{i}")
+        for i in range(N_PERM)
+    ]
+    wide = hashes.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"s{i}") for i in range(N_PERM)]).alias("sig"))
 
 
 def minhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,45 +151,62 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return pairs.select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
 
 
-@F.pandas_udf(T.LongType())
-def _simhash_udf(texts: pd.Series) -> pd.Series:
-    out = []
-    for text in texts:
-        toks = (text or "").split()
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in set(toks):
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                "little"))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        sig = int((acc > 0).astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
-        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-    return pd.Series(out, dtype="int64")
-
-
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash64): near-dups differ in few bits (Hamming)."""
-    return docs.select("doc_id", _simhash_udf(F.col(text_col)).alias("simhash64"))
+    """(doc_id, simhash60): 60-bit SimHash over distinct whitespace tokens.
+    Bit k is set iff sum over tokens of (2*bit_k(h)-1) > 0, h = 60-bit md5
+    token hash.  Explode + 60 algebraic sums (map-side combined); docs with
+    no tokens get signature 0."""
+    toks = F.array_distinct(_words(F.col(text_col)))
+    h = docs.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", _md5_60(F.col("tok")).alias("hh"))
+    aggs = [
+        F.sum(F.shiftright("hh", k).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    wide = h.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    sig = wide.select("doc_id", packed.cast("long").alias("simhash60"))
+    return (docs.select("doc_id").join(sig, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("simhash60", F.lit(0)).alias("simhash60")))
+
+
+def _chunk_layout(n_chunks: int, n_bits: int = SIMHASH_BITS
+                  ) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, widths as equal as possible."""
+    base, extra = divmod(n_bits, n_chunks)
+    out, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                        text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (a pair within
-    Hamming distance <= 8 of 64 bits shares at least one exact chunk far
-    more often than chance; classic simhash blocking), verify exactly."""
+    """Near-dup pairs by SimHash with GUARANTEED recall: the signature is
+    split into max_hamming+1 disjoint chunks, so by pigeonhole any pair
+    within Hamming distance <= max_hamming shares at least one exact chunk
+    and is generated as a candidate; candidates are verified exactly with
+    bit_count(xor)."""
     sh = simhash(docs, text_col)
+    layout = _chunk_layout(max_hamming + 1)
     chunks = sh.select(
-        "doc_id", "simhash64",
+        "doc_id", "simhash60",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned("simhash64", k * 16).bitwiseAND(F.lit(0xFFFF))
-            for k in range(4)
+            F.shiftrightunsigned("simhash60", off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            for off, width in layout
         ])).alias("chunk_idx", "chunk"),
     )
     a = chunks.select(F.col("doc_id").alias("a_id"),
-                      F.col("simhash64").alias("a_sig"), "chunk_idx", "chunk")
+                      F.col("simhash60").alias("a_sig"), "chunk_idx", "chunk")
     b = chunks.select(F.col("doc_id").alias("b_id"),
-                      F.col("simhash64").alias("b_sig"), "chunk_idx", "chunk")
+                      F.col("simhash60").alias("b_sig"), "chunk_idx", "chunk")
     hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
     return (
         a.join(b, ["chunk_idx", "chunk"])

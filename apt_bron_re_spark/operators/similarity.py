@@ -4,10 +4,24 @@ Two paths:
   * brute-force cosine top-k — exact; broadcast the (small) query set and
     keep the dot product JVM-side (zip_with/aggregate) so the scan is one
     narrow pass + a top-k aggregation;
-  * LSH-bucketed ANN — random-hyperplane signatures (deterministic
-    hyperplanes from a stable hash), candidates = bucket collisions,
-    re-ranked exactly.  The scale path: shuffle O(n x tables), not O(n x q)
-    for large query sets.
+  * multi-table LSH ANN — OR-amplified random-hyperplane signatures
+    (``n_tables`` independent sign-LSH tables of ``n_planes`` bits each; a
+    vector pair is a candidate if it collides in ANY table), candidates
+    re-ranked exactly.  The scale path: the candidate join is an equi-join
+    on (table, bucket), so the shuffle is O(n x tables), never O(n^2).
+
+Determinism / oracle-checkability: hyperplanes are deterministic integer
+vectors (blake2b-seeded, components in [-1000, 1000]) and the embedding is
+quantized to integers (floor(x*1000 + 0.5)) before the signature dot
+product — integer dot products are EXACT in any engine and any summation
+order, so the bucket assignment is bit-identical between the numpy batch
+UDF here and the DuckDB oracle SQL in queries.py.
+
+Default (n_tables=20, n_planes=4) is tuned for near-uniform vectors (the
+synthetic corpus has 10th-neighbour cosine ~0.28 — the hard case): pytest
+gates recall@10 >= 0.9 vs brute force.  Clustered real-world embeddings
+reach the same recall with far fewer/narrower tables; both knobs are
+per-call.
 """
 
 from __future__ import annotations
@@ -19,6 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+N_TABLES = 20
+N_PLANES = 4
+QUANT = 1000.0
 
 
 def _dot(a, b):
@@ -46,41 +64,60 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rnk") <= k))
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic random hyperplanes (unit-free; sign only matters)."""
-    rows = []
-    for i in range(n_planes):
-        seed = hashlib.blake2b(f"ann-plane-{i}".encode(), digest_size=8).digest()
-        rng = np.random.default_rng(int.from_bytes(seed, "little"))
-        rows.append(rng.standard_normal(dim))
-    return np.stack(rows)
+def hyperplanes(dim: int, n_tables: int = N_TABLES,
+                n_planes: int = N_PLANES) -> np.ndarray:
+    """(n_tables, n_planes, dim) deterministic integer hyperplanes,
+    components uniform in [-1000, 1000] (sign-LSH is scale-free, so
+    integer normals behave like Gaussian ones for these widths)."""
+    out = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for i in range(n_planes):
+            seed = hashlib.blake2b(f"ann-plane-{t}-{i}".encode(),
+                                   digest_size=8).digest()
+            rng = np.random.default_rng(int.from_bytes(seed, "little"))
+            out[t, i] = rng.integers(-1000, 1001, dim).astype(np.float64)
+    return out
 
 
-def lsh_signatures(df: DataFrame, dim: int, n_planes: int = 16,
+def lsh_signatures(df: DataFrame, dim: int,
+                   n_tables: int = N_TABLES, n_planes: int = N_PLANES,
                    vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane signature as an int bucket column."""
-    planes = _hyperplanes(dim, n_planes)
+    """Adds ``buckets array<int>`` — one sign-LSH bucket per table.
+    Quantized-integer dot products: exact, order-independent."""
+    planes = hyperplanes(dim, n_tables, n_planes)
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @F.pandas_udf(T.IntegerType())
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def sig(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())            # B x dim
-        bits = (mat @ planes.T) > 0                # B x planes
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series((bits @ weights).astype(np.int32))
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(mat * QUANT + 0.5)            # exact integer grid
+        bits = (q @ flat.T) > 0                    # B x (tables*planes)
+        bits = bits.reshape(len(mat), len(planes), -1)
+        buckets = (bits @ weights).astype(np.int32)
+        return pd.Series(list(buckets))
 
-    return df.withColumn("lsh_bucket", sig(F.col(vec_col)))
+    return df.withColumn("buckets", sig(F.col(vec_col)))
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-             n_planes: int = 12,
+             n_tables: int = N_TABLES, n_planes: int = N_PLANES,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_emb") -> DataFrame:
-    """Approximate top-k: only vectors in the query's LSH bucket are scored
-    (equi-join on bucket instead of a full cross join)."""
-    v = lsh_signatures(vectors, dim, n_planes, vec_col)
-    q = lsh_signatures(queries, dim, n_planes, q_vec_col)
-    joined = v.join(F.broadcast(q), "lsh_bucket")
-    scored = joined.select(
+    """Approximate top-k with OR-amplification: score only vectors that
+    share >= 1 of n_tables LSH buckets with the query, re-rank exactly."""
+    v = (lsh_signatures(vectors, dim, n_tables, n_planes, vec_col)
+         .select(id_col, vec_col,
+                 F.posexplode("buckets").alias("tbl", "bucket")))
+    q = (lsh_signatures(queries, dim, n_tables, n_planes, q_vec_col)
+         .select(q_id_col, q_vec_col,
+                 F.posexplode("buckets").alias("tbl", "bucket")))
+    cands = (
+        v.join(F.broadcast(q), ["tbl", "bucket"])
+        .select(q_id_col, id_col, vec_col, q_vec_col)
+        .dropDuplicates([q_id_col, id_col])
+    )
+    scored = cands.select(
         F.col(q_id_col), F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 4)
         .alias("cos_sim"))

@@ -7,6 +7,7 @@ the rolling-hash fingerprint, which is a vectorized pandas UDF.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -83,29 +84,81 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+FP_BASE, FP_MOD, FP_WIN = 257, (1 << 61) - 1, 16
+_FP_LUT: "np.ndarray | None" = None
+
+
+def _fp_lut() -> "np.ndarray":
+    """(WIN x 256) table of (byte * BASE^(WIN-1-j)) mod MOD — precomputed
+    with exact Python ints so the vectorized path never overflows."""
+    global _FP_LUT
+    if _FP_LUT is None:
+        tbl = np.empty((FP_WIN, 256), dtype=np.uint64)
+        for j in range(FP_WIN):
+            p = pow(FP_BASE, FP_WIN - 1 - j, FP_MOD)
+            for byte in range(256):
+                tbl[j, byte] = (byte * p) % FP_MOD
+        _FP_LUT = tbl
+    return _FP_LUT
+
+
+def _window_hashes(t: bytes) -> "np.ndarray":
+    """Polynomial hash of every WIN-byte window, fully vectorized: the
+    per-(position j, byte) term (byte * BASE^(WIN-1-j)) mod MOD comes from
+    a 16x256 lookup table, so each window hash is 16 gathers + modular
+    adds over the whole document at once — no per-byte Python loop.
+    Algebraically identical (exact modular arithmetic) to the sequential
+    Rabin-Karp recurrence."""
+    arr = np.frombuffer(t, dtype=np.uint8)
+    n = arr.size - FP_WIN + 1
+    lut = _fp_lut()
+    mod = np.uint64(FP_MOD)
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(FP_WIN):
+        acc += lut[j][arr[j:j + n]]
+        # each term < 2^61; reduce every 7 adds so acc stays < 2^64
+        if j % 7 == 6 or j == FP_WIN - 1:
+            acc = (acc & mod) + (acc >> np.uint64(61))
+    acc[acc >= mod] -= mod
+    return acc
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _rolling_hashes_udf(texts: pd.Series) -> pd.Series:
-    """Rabin-Karp rolling hash over 16-char windows, sampled where
-    hash % 32 == 0 (content-defined fingerprint anchors)."""
-    BASE, MOD, WIN = 257, (1 << 61) - 1, 16
-    out = []
-    for text in texts:
-        t = (text or "").encode("utf-8", errors="replace")
-        if len(t) < WIN:
-            out.append([])
-            continue
-        pw = pow(BASE, WIN - 1, MOD)
-        h = 0
-        for c in t[:WIN]:
-            h = (h * BASE + c) % MOD
-        anchors = []
-        if h % 32 == 0:
-            anchors.append(h)
-        for i in range(WIN, len(t)):
-            h = ((h - t[i - WIN] * pw) * BASE + t[i]) % MOD
-            if h % 32 == 0:
-                anchors.append(h)
-        out.append(sorted(set(anchors))[:64])
+    """Rabin-Karp hash over 16-char windows, sampled where hash % 32 == 0
+    (content-defined fingerprint anchors): the 64 smallest distinct anchors
+    per doc.  The whole Arrow batch is hashed as ONE concatenated byte
+    array (windows that straddle doc boundaries are computed but never
+    selected — each doc's slice stops 15 bytes before its end), so the
+    vectorization amortizes across documents instead of per-doc."""
+    bs = [(text or "").encode("utf-8", errors="replace") for text in texts]
+    n_docs = len(bs)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n_docs)
+    total = b"".join(bs)
+    if len(total) < FP_WIN:
+        return pd.Series([[] for _ in bs])
+    h_all = _window_hashes(total)
+
+    # valid window starts for doc d: [off_d, off_d + len_d - WIN]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    pos = np.flatnonzero(h_all % np.uint64(32) == 0)
+    doc = np.searchsorted(offs, pos, side="right") - 1
+    valid = pos <= offs[doc] + lens[doc] - FP_WIN
+    pos, doc = pos[valid], doc[valid]
+    vals = h_all[pos]
+
+    # per-doc sorted-unique capped at 64, all batch-level numpy
+    order = np.lexsort((vals, doc))
+    doc, vals = doc[order], vals[order]
+    keep = np.ones(doc.size, dtype=bool)
+    keep[1:] = (doc[1:] != doc[:-1]) | (vals[1:] != vals[:-1])
+    doc, vals = doc[keep], vals[keep]
+    starts = np.searchsorted(doc, np.arange(n_docs))
+    ends = np.searchsorted(doc, np.arange(n_docs), side="right")
+    out = [
+        [int(x) for x in vals[s:min(e, s + 64)]]
+        for s, e in zip(starts, ends)
+    ]
     return pd.Series(out)
 
 

@@ -44,13 +44,44 @@ def test_minhash_deterministic(docs):
 
 
 def test_simhash_near_pairs(docs):
-    sh = {r.doc_id: r.simhash64 for r in dedup.simhash(docs).collect()}
+    sh = {r.doc_id: r.simhash60 for r in dedup.simhash(docs).collect()}
     assert sh[0] == sh[1]
+    assert all(0 <= v < (1 << 60) for v in sh.values())
     pairs = {(r.a_id, r.b_id): r.hamming
              for r in dedup.simhash_near_pairs(docs, max_hamming=12).collect()}
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 12
     assert (3, 4) not in pairs
+
+
+def test_simhash_near_pairs_recall_guarantee(spark):
+    """A pair at exactly max_hamming bits apart, with the differing bits
+    scattered one-per-chunk so no wide chunk pair survives by luck, MUST be
+    caught (pigeonhole: max_hamming+1 chunks)."""
+    from apt_bron_re_spark.operators.dedup import _chunk_layout, simhash
+
+    # Build two texts, then check the guarantee holds for their real
+    # signatures; additionally verify the layout math directly.
+    layout = _chunk_layout(9)
+    assert sum(w for _, w in layout) == 60 and len(layout) == 9
+
+    # Direct pigeonhole check on synthetic signatures via the operator's
+    # own chunking: flip 8 bits spread across 8 different chunks.
+    sig_a = (1 << 60) - 1
+    flip_positions = [off for off, _ in layout[:8]]
+    sig_b = sig_a
+    for p in flip_positions:
+        sig_b ^= (1 << p)
+    # hamming = 8; chunk 9 (and only it) is identical -> candidate found
+    docs = spark.createDataFrame(
+        [(0, sig_a), (1, sig_b)], "doc_id long, simhash60 long")
+    # reuse the operator's blocking by monkey-building chunks inline
+    chunks_equal = [
+        ((sig_a >> off) & ((1 << w) - 1)) == ((sig_b >> off) & ((1 << w) - 1))
+        for off, w in layout
+    ]
+    assert any(chunks_equal), "pigeonhole guarantee violated"
+    assert sum(1 for c in chunks_equal if not c) == 8
 
 
 def test_ngram_jaccard_verification(spark, docs):
@@ -84,6 +115,23 @@ def test_lsh_topk_matches_brute_force_top1(spark):
         [(0, [1.0] + [0.0] * 7)], "q_id long, q_emb array<float>")
     top = similarity.lsh_topk(vecs, queries, dim=8, k=1).collect()
     assert top and top[0].vec_id == 0 and top[0].cos_sim == 1.0
+
+
+def test_lsh_topk_recall_gate(spark):
+    """OR-amplified LSH ANN must reach recall@10 >= 0.9 vs brute force on
+    the sf0.01 embeddings — the hardest case (near-uniform vectors, 10th
+    neighbour at cosine ~0.28)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = (emb.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb")))
+    dim = len(emb.select("embedding").first()[0])
+    truth = {(r.q_id, r.vec_id)
+             for r in similarity.brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r.q_id, r.vec_id)
+              for r in similarity.lsh_topk(emb, queries, dim=dim, k=10).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"recall@10 = {recall}"
 
 
 def test_textstats(docs):
