@@ -396,9 +396,247 @@ def q_lang_stats(spark, sf_dir):
     )
 
 
+def q_lang_id_pred(spark, sf_dir):
+    """Heuristic language-ID operator (textstats.language_id): argmax
+    profile-stopword share per doc."""
+    from .operators.textstats import language_id
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+def q_connected_components(spark, sf_dir):
+    """L6-CC: iterative min-label connected components over the bipartite
+    user/event-type graph of the events table (canonicalize.py)."""
+    from .operators.canonicalize import connected_components as cc
+    ev = load(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    return cc(edges)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH candidate pairs over documents (dedup.py) — md5-based
+    shingle hashes + MLlib-prime permutations, value-matched by the oracle."""
+    from .operators.dedup import minhash_candidates
+    return minhash_candidates(load(spark, sf_dir, "documents"))
+
+
+def q_simhash_docs(spark, sf_dir):
+    """60-bit SimHash per document (dedup.simhash)."""
+    from .operators.dedup import simhash
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+def q_shared_passages(spark, sf_dir):
+    """Fingerprint anchors (Rabin-Karp 16-char windows, h%32==0) shared
+    between docs (textstats.shared_passage_pairs, min_shared=2)."""
+    from .operators.textstats import shared_passage_pairs
+    return shared_passage_pairs(load(spark, sf_dir, "documents"),
+                                min_shared=2)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-table OR-amplified LSH ANN: top-5 neighbours of vec_id < 5
+    (similarity.lsh_topk; integer-quantized signatures so the bucket
+    assignment is engine-exact)."""
+    from .operators.similarity import lsh_topk
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter("vec_id < 5")
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_emb")))
+    return lsh_topk(emb, queries_df, dim=64, k=5)
+
+
+def q_near_dup_pipeline(spark, sf_dir):
+    """The headline near-dup query: LSH candidate generation -> exact
+    n-gram-Jaccard verification (scale path; replaces the blocked all-pairs
+    ngram_jaccard_dups as the recommended plan)."""
+    from .operators.dedup import minhash_candidates, ngram_jaccard_pairs
+    docs = load(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs).select("a_id", "b_id")
+    return ngram_jaccard_pairs(docs, cands, threshold=0.8)
+
+
+def q_bm25_rank(spark, sf_dir):
+    """A4: per-doc descending BM25 rank of the dictionary terms
+    (bm25.bm25_rank shape)."""
+    base = q_bm25_terms(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return base.withColumn("rnk", F.row_number().over(w))
+
+
+def q_problematic_terms(spark, sf_dir):
+    """A7 (summaries.problematic_names shape): (lang, term) whose BM25
+    scores are mostly under threshold 1.0, with exception counts."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = q_bm25_terms(spark, sf_dir).join(docs, "doc_id")
+    return (
+        base.groupBy("lang", "term")
+        .agg(F.count("*").alias("total"),
+             F.count_if(F.col("bm25") < 1.0).alias("under"),
+             F.count_if(F.col("bm25") >= 1.0).alias("n_exceptions"))
+        .filter((F.col("under") / F.col("total")) >= 0.5)
+    )
+
+
+def q_bm25_stats(spark, sf_dir):
+    """A8 (summaries.bm25_statistics shape): per-term mean/stddev +
+    above/below-threshold counts, ranked by mean score."""
+    base = q_bm25_terms(spark, sf_dir)
+    stats = (
+        base.groupBy("term")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("bm25"), 4).alias("mean_score"),
+             F.round(F.stddev_samp("bm25"), 4).alias("stddev_score"),
+             F.count_if(F.col("bm25") >= 1.0).alias("above"),
+             F.count_if(F.col("bm25") < 1.0).alias("below"))
+        .filter(F.col("n") >= 2)
+        .withColumn("ratio_above", F.round(F.col("above") / F.col("n"), 4))
+        .filter(F.col("ratio_above") < 1.0)
+    )
+    w = Window.orderBy(F.desc("mean_score"), F.asc("term"))
+    return stats.withColumn("rnk", F.row_number().over(w))
+
+
 # ==========================================================================
 # Oracle SQL (DuckDB dialect = ANSI here)
 # ==========================================================================
+
+# --- shared fragments for the hash-parity oracles ------------------------
+# Whitespace tokens with Python-str.split() semantics.
+_WORDS_SQL = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+
+def _minhash_cte() -> str:
+    """CTE chain computing the exact MinHash signatures of dedup.py:
+    60-bit md5 shingle hash mod MLlib prime, (a*h+b) mod p permutations."""
+    from .operators.dedup import (MINHASH_PRIME, N_PERM, SHINGLE_K,
+                                  _perm_params)
+    a, b = _perm_params()
+    return f"""
+        tk AS (SELECT doc_id, {_WORDS_SQL} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(len(tk)-{SHINGLE_K-1}, 1)),
+                   i -> array_to_string(tk[i:i+{SHINGLE_K-1}], ' '))) AS shingle
+               FROM tk),
+        hh AS (SELECT doc_id,
+                 ('0x'||substr(md5(shingle),1,15))::BIGINT % {MINHASH_PRIME} AS hh
+               FROM sh),
+        perm AS (SELECT unnest(generate_series(0, {N_PERM-1})) AS p),
+        acoef AS (SELECT {list(a)}::BIGINT[] AS a, {list(b)}::BIGINT[] AS b),
+        sigp AS (SELECT doc_id, p,
+                   MIN((hh * a[p+1] + b[p+1]) % {MINHASH_PRIME}) AS v
+                 FROM hh CROSS JOIN perm CROSS JOIN acoef
+                 GROUP BY doc_id, p)
+    """
+
+
+def _minhash_pairs_cte() -> str:
+    from .operators.dedup import ROWS_PER_BAND
+    return f"""
+        band AS (SELECT doc_id, (p // {ROWS_PER_BAND}) AS band,
+                   md5(string_agg(v::VARCHAR, ',' ORDER BY p)) AS bucket
+                 FROM sigp GROUP BY doc_id, (p // {ROWS_PER_BAND})),
+        pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                  FROM band x JOIN band y
+                    ON x.band = y.band AND x.bucket = y.bucket
+                       AND x.doc_id < y.doc_id)
+    """
+
+
+def _simhash_sql() -> str:
+    from .operators.dedup import SIMHASH_BITS
+    sums = ", ".join(
+        f"SUM(((hh >> {k}) & 1) * 2 - 1) AS b{k}" for k in range(SIMHASH_BITS))
+    pack = " + ".join(
+        f"CASE WHEN b{k} > 0 THEN {1 << k} ELSE 0 END"
+        for k in range(SIMHASH_BITS))
+    return f"""
+        WITH tk AS (SELECT doc_id, list_distinct({_WORDS_SQL}) AS tk
+                    FROM documents),
+        h AS (SELECT doc_id,
+                ('0x'||substr(md5(unnest(tk)),1,15))::BIGINT AS hh FROM tk),
+        bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(({pack})::BIGINT, 0) AS simhash60
+        FROM documents d LEFT JOIN bits USING (doc_id)
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """Signature CTEs with the baked integer hyperplanes of similarity.py:
+    quantized-integer dot products make bucket bits engine-exact."""
+    from .operators.similarity import N_PLANES, N_TABLES, hyperplanes
+    planes = hyperplanes(64, N_TABLES, N_PLANES).astype(int)
+    bucket_exprs = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(qv, {planes[t, i].tolist()}::DOUBLE[])"
+            f" > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(N_PLANES))
+        bucket_exprs.append(f"({bits}) AS bkt{t}")
+    or_clause = " OR ".join(f"s.bkt{t} = q.bkt{t}" for t in range(N_TABLES))
+    cos = ("list_inner_product(s.embedding::DOUBLE[], q.q_emb::DOUBLE[]) / "
+           "(SQRT(list_inner_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))"
+           " * SQRT(list_inner_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])))")
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding::DOUBLE[],
+                                x -> floor(x * 1000 + 0.5)) AS qv
+          FROM embeddings),
+        sigb AS (SELECT vec_id, embedding,
+                        {", ".join(bucket_exprs)} FROM sig),
+        q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                     {", ".join(f"bkt{t}" for t in range(N_TABLES))}
+              FROM sigb WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, s.vec_id, ROUND({cos}, 4) AS cos_sim
+          FROM sigb s JOIN q ON ({or_clause}))
+        SELECT q_id, vec_id, cos_sim, rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+          FROM scored) t
+        WHERE rnk <= 5
+    """
+
+
+_FP_SQL_CTE = """
+        w AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, length(text) - 15),
+                       i -> substr(text, i, 16))) AS win
+              FROM documents WHERE length(text) >= 16),
+        h AS (SELECT doc_id,
+                list_reduce(list_transform(generate_series(1, 16),
+                            j -> unicode(substr(win, j, 1))::HUGEINT),
+                            (a, c) -> (a * 257 + c) % 2305843009213693951)
+                  AS hv
+              FROM w),
+        anch AS (SELECT DISTINCT doc_id, hv FROM h WHERE hv % 32 = 0),
+        capped AS (SELECT doc_id, hv FROM (
+            SELECT doc_id, hv,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+            FROM anch) t WHERE rn <= 64)
+"""
+
+_BM25_BASE_SQL = f"""
+        WITH {_TOK_CTE},
+        dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS m, AVG(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS f
+          FROM tok JOIN (VALUES {_TERMS_SQL}) AS d(term) ON tok.token = d.term
+          GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS n FROM tf GROUP BY term),
+        bm AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(LN((stats.m - df.n + 0.5) / (df.n + 0.5) + 1.0)
+                     * (tf.f * 2.5)
+                     / (tf.f + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+                     4) AS bm25
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats)
+"""
 
 ORACLES: dict[str, str] = {
     "dict_first_mention": f"""
@@ -584,6 +822,117 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+def _lang_id_sql() -> str:
+    from .operators.textstats import _LANG_PROFILES
+    selects = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_intersect(tk, {lst})) / {len(words)}.0 AS score FROM t")
+    union = " UNION ALL ".join(selects)
+    return rf"""
+        WITH t AS (SELECT doc_id,
+                     list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                         '\s+')) AS tk
+                   FROM documents),
+        sc AS ({union})
+        SELECT doc_id, lang AS pred_lang, ROUND(score, 4) AS lang_score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, lang DESC) AS rn FROM sc) x
+        WHERE rn = 1
+    """
+
+
+ORACLES["lang_id_pred"] = _lang_id_sql()
+
+ORACLES["connected_components"] = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 'u:' || user_id AS src, 't:' || event_type AS dst
+      FROM events),
+    sym AS (SELECT src AS a, dst AS b FROM edges
+            UNION SELECT dst AS a, src AS b FROM edges),
+    nodes AS (SELECT DISTINCT a FROM sym),
+    reach AS (
+      SELECT a, a AS b FROM nodes
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+    SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+"""
+
+ORACLES["minhash_dedup"] = f"""
+    WITH {_minhash_cte()}, {_minhash_pairs_cte()}
+    SELECT p2.a_id, p2.b_id,
+           ROUND(SUM(CASE WHEN sx.v = sy.v THEN 1 ELSE 0 END) / 64.0, 4)
+             AS est_jaccard
+    FROM pairs p2
+    JOIN sigp sx ON sx.doc_id = p2.a_id
+    JOIN sigp sy ON sy.doc_id = p2.b_id AND sy.p = sx.p
+    GROUP BY p2.a_id, p2.b_id
+"""
+
+ORACLES["simhash_docs"] = _simhash_sql()
+
+ORACLES["shared_passages"] = f"""
+    WITH {_FP_SQL_CTE}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+    FROM capped a JOIN capped b ON a.hv = b.hv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
+
+ORACLES["near_dup_pipeline"] = rf"""
+    WITH {_minhash_cte()}, {_minhash_pairs_cte()},
+    sets AS (SELECT doc_id,
+               list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+             FROM documents)
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT p2.a_id, p2.b_id,
+             ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+                   / (len(sa.toks) + len(sb.toks)
+                      - len(list_intersect(sa.toks, sb.toks))), 4) AS jaccard
+      FROM pairs p2
+      JOIN sets sa ON sa.doc_id = p2.a_id
+      JOIN sets sb ON sb.doc_id = p2.b_id) t
+    WHERE jaccard >= 0.8
+"""
+
+ORACLES["bm25_rank"] = f"""
+    {_BM25_BASE_SQL}
+    SELECT doc_id, term, bm25,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY bm25 DESC, term ASC) AS rnk
+    FROM bm
+"""
+
+ORACLES["problematic_terms"] = f"""
+    {_BM25_BASE_SQL}
+    SELECT lang, term, COUNT(*) AS total,
+           COUNT(*) FILTER (bm25 < 1.0) AS under,
+           COUNT(*) FILTER (bm25 >= 1.0) AS n_exceptions
+    FROM bm JOIN documents USING (doc_id)
+    GROUP BY lang, term
+    HAVING (COUNT(*) FILTER (bm25 < 1.0)) / CAST(COUNT(*) AS DOUBLE) >= 0.5
+"""
+
+ORACLES["bm25_stats"] = f"""
+    {_BM25_BASE_SQL}
+    SELECT term, n, mean_score, stddev_score, above, below, ratio_above,
+           ROW_NUMBER() OVER (ORDER BY mean_score DESC, term ASC) AS rnk
+    FROM (
+      SELECT term, COUNT(*) AS n,
+             ROUND(AVG(bm25), 4) AS mean_score,
+             ROUND(STDDEV_SAMP(bm25), 4) AS stddev_score,
+             COUNT(*) FILTER (bm25 >= 1.0) AS above,
+             COUNT(*) FILTER (bm25 < 1.0) AS below,
+             ROUND((COUNT(*) FILTER (bm25 >= 1.0))
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS ratio_above
+      FROM bm GROUP BY term) s
+    WHERE n >= 2 AND ratio_above < 1.0
+"""
+
 SPARK_QUERIES = {
     "dict_first_mention": q_dict_first_mention,
     "mention_counts": q_mention_counts,
@@ -607,4 +956,14 @@ SPARK_QUERIES = {
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "quality_score": q_quality_score,
     "lang_stats": q_lang_stats,
+    "lang_id_pred": q_lang_id_pred,
+    "connected_components": q_connected_components,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_docs": q_simhash_docs,
+    "shared_passages": q_shared_passages,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "near_dup_pipeline": q_near_dup_pipeline,
+    "bm25_rank": q_bm25_rank,
+    "problematic_terms": q_problematic_terms,
+    "bm25_stats": q_bm25_stats,
 }
