@@ -1,8 +1,10 @@
-"""Triple P/R vs the pinned gold fixtures (BASELINE.json: P/R >= 0.95).
+"""Triple P/R vs INDEPENDENT gold fixtures (BASELINE.json: P/R >= 0.95).
 
-The gold file freezes the (subj, pred, obj) set the pipeline emits on the
-pinned 60-page corpus; regenerate only via scripts/gen_gold.py on a
-conscious semantics change."""
+The gold file is produced by scripts/ref_interpreter.py — a deliberately
+naive straight-line re-implementation of the reference semantics that
+shares no transformation code with the pipeline operators — so this is
+independent validation, not a regression lock.  Regenerate via
+``python scripts/ref_interpreter.py 60`` on a conscious semantics change."""
 
 import json
 from pathlib import Path
@@ -34,9 +36,12 @@ def test_triple_precision_recall(triples):
 
 
 def test_sources_and_scores_match_gold(triples):
-    gold = {(t["subj"], t["pred"], t["obj"]): (tuple(t["sources"]), t["score"])
+    gold = {(t["subj"], t["pred"], t["obj"]):
+            (tuple(t["sources"]), t["score"], t["n_sources"],
+             t["justification"])
             for t in GOLD["triples"]}
-    got = {(r.subj, r.pred, r.obj): (tuple(sorted(r.sources)), r.score)
+    got = {(r.subj, r.pred, r.obj):
+           (tuple(sorted(r.sources)), r.score, r.n_sources, r.justification)
            for r in triples.collect()}
     mismatches = {k for k in gold.keys() & got.keys() if gold[k] != got[k]}
     assert not mismatches, f"{len(mismatches)} source/score mismatches"
