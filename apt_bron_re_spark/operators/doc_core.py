@@ -60,6 +60,17 @@ _NORMALIZED_SURFACES = {
     "hound utility": ("OBSERVABLE", "BloodHound"),
 }
 
+# Actor surfaces the "service" knows that the BRON dictionary does not —
+# these survive residue filtering (N5) and exercise linking L2-L4.  Part of
+# the NER-service stand-in spec (the synthetic corpus generator imports
+# this list to plant them; the operator owns the spec, not the test data).
+NER_ONLY_SURFACES = [
+    "G 0103",            # residue that links nowhere (negative case)
+    "Obsidian Tigr",     # semantic-links to the hub group (typo)
+    "S 0002",            # residue that links nowhere (negative case)
+    "Crimson Mantiss",   # semantic near-dup of Crimson Mantis
+]
+
 # Extra surfaces the "service" knows that the BRON dictionary does not.
 _EXTRA_SURFACES = {
     "windows": "OS",
@@ -81,7 +92,8 @@ class NerTagger:
     """Deterministic stand-in for the reference's Lookup_Table NER service."""
 
     def __init__(self, layer_map: dict[str, list[dict]],
-                 extra_surfaces: dict[str, str] | None = None) -> None:
+                 extra_surfaces: dict[str, str] | None = None,
+                 ner_only_surfaces: list[str] | None = None) -> None:
         surface_to_cat: dict[str, str] = {}
 
         def add(surface: str, cat: str) -> None:
@@ -100,8 +112,9 @@ class NerTagger:
         for node in layer_map.get("technique", []):
             add(node["name"], "TECHNIQUE")
 
-        from ..sources.pages import NER_ONLY_SURFACES
-        for s in NER_ONLY_SURFACES:
+        surfaces = (NER_ONLY_SURFACES if ner_only_surfaces is None
+                    else ner_only_surfaces)
+        for s in surfaces:
             add(s, "THREAT_ACTOR")
 
         for surface, cat in (extra_surfaces or _EXTRA_SURFACES).items():

@@ -37,14 +37,9 @@ HUB_RATE = 0.30
 
 # NER-only surfaces: found by the (deterministic) NER tagger but NOT by the
 # dictionary scan -> survive residue filtering (N5) -> exercise linking L2-L4.
-# The surfaces below are emitted verbatim; they link (or fail to link)
-# semantically via the stub embedder.
-NER_ONLY_SURFACES = [
-    "G 0103",            # residue that links nowhere (negative case)
-    "Obsidian Tigr",     # semantic-links to the hub group (typo)
-    "S 0002",            # residue that links nowhere (negative case)
-    "Crimson Mantiss",   # semantic near-dup of Crimson Mantis
-]
+# The list is owned by the tagger spec (operators/doc_core.py); the corpus
+# generator imports it so the planted text matches what the service knows.
+from ..operators.doc_core import NER_ONLY_SURFACES  # noqa: E402,F401
 
 # Surfaces the NER "service" recognizes but *normalizes* to its own
 # dictionary form (like the reference's Lookup_Table mode): the emitted

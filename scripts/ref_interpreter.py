@@ -32,7 +32,7 @@ from apt_bron_re_spark.catalog.synthetic import build_layer_map
 from apt_bron_re_spark.config import PREDICATE_MAP, SIM_THRESHOLD
 from apt_bron_re_spark.functions.embedder import embed_batch
 from apt_bron_re_spark.functions.extract_text import extract_text
-from apt_bron_re_spark.sources.pages import NER_ONLY_SURFACES, generate_pages
+from apt_bron_re_spark.sources.pages import generate_pages
 
 # Reference regexes (basic.py:49-51).
 TECH_ID_RE = re.compile(r"\bT1\d{3}(?:\.\d{3})?\b", re.IGNORECASE)
@@ -68,6 +68,7 @@ EXTRA_SURFACES = {
     "apache": "VENDOR", "crowdstrike": "SECURITY_PRODUCT",
     "apt": "THREAT_ACTOR", "tool": "SOFTWARE", "exploit": "TECHNIQUE",
 }
+NER_ONLY_SURFACES = ["G 0103", "Obsidian Tigr", "S 0002", "Crimson Mantiss"]
 
 CONTEXT_LENGTH = 15
 CPE_CHAR_RANGE = 75
