@@ -115,6 +115,67 @@ def add_bm25(mentions: DataFrame, docs: DataFrame | None = None,
         passthrough.withColumn("bm25_score", F.lit(None).cast("double")))
 
 
+def bm25_global_stats(mentions: DataFrame, dls: DataFrame,
+                      labels: list[str] | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
+    """The corpus-GLOBAL inputs of BM25, materializable once so chunked
+    (per-partition incremental) scoring stays exact: naive per-chunk
+    scoring would compute df/m/avgdl from the chunk and produce wrong idf.
+
+    Returns (stats, df_table): stats is the 1-row (m, avgdl); df_table is
+    (category, bm25_key, n) document frequencies."""
+    labels = labels or BM25_LABELS
+    stats = dls.agg(F.count("*").alias("m"), F.avg("dl").alias("avgdl"))
+    key_expr = F.lower(F.coalesce(F.col("original_id"), F.col("name"), F.lit("")))
+    tf = (mentions.filter(F.col("category").isin(labels))
+          .select("category", "url", key_expr.alias("bm25_key"))
+          .groupBy("category", "url", "bm25_key")
+          .agg(F.count("*").alias("f")))
+    df_ = tf.groupBy("category", "bm25_key").agg(F.count("*").alias("n"))
+    return stats, df_
+
+
+def add_bm25_frozen(mentions: DataFrame, dls: DataFrame,
+                    stats: DataFrame, df_table: DataFrame,
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    labels: list[str] | None = None) -> DataFrame:
+    """``add_bm25`` against FROZEN global stats — exact on any url-subset
+    of the corpus (tf and dl are url-local; df/m/avgdl come frozen), so an
+    interrupted link stage resumes per-bucket with identical scores."""
+    labels = labels or BM25_LABELS
+    scored = mentions.filter(F.col("category").isin(labels))
+    passthrough = mentions.filter(~F.col("category").isin(labels))
+    key_expr = F.lower(F.coalesce(F.col("original_id"), F.col("name"), F.lit("")))
+
+    tf = (scored.select("category", "url", key_expr.alias("bm25_key"))
+          .groupBy("category", "url", "bm25_key")
+          .agg(F.count("*").alias("f")))
+    score_table = (
+        tf.join(F.broadcast(df_table), ["category", "bm25_key"])
+        .join(dls, ["url"], "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dl", F.coalesce(F.col("dl"), F.col("avgdl")))
+        .withColumn(
+            "idf",
+            F.log((F.col("m") - F.col("n") + 0.5) / (F.col("n") + 0.5) + 1.0))
+        .withColumn(
+            "denom",
+            F.col("f") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        .select(
+            "category", "url", "bm25_key",
+            F.when(F.col("denom") != 0.0,
+                   F.round(F.col("idf") * (F.col("f") * (k1 + 1.0)) / F.col("denom"), 4))
+            .otherwise(F.lit(0.0)).alias("bm25_score"))
+    )
+    out = (
+        scored.withColumn("bm25_key", key_expr)
+        .join(score_table, ["category", "url", "bm25_key"], "left")
+        .drop("bm25_key")
+    )
+    return out.unionByName(
+        passthrough.withColumn("bm25_score", F.lit(None).cast("double")))
+
+
 def bm25_rank(scored: DataFrame) -> DataFrame:
     """Per (url, category) descending-score rank — the Spark form of the
     reference's per-label sort (statistics.py:72-73, A4)."""

@@ -141,3 +141,87 @@ def materialize_triples(ev: DataFrame,
             F.round(F.max("salt_score"), 4).alias("score"),
         )
     )
+
+
+def partial_triples(ev: DataFrame,
+                    predicate_map: dict | None = None,
+                    max_sources: int = 64,
+                    n_salts: int = 16) -> DataFrame:
+    """Chunk-local partial triple aggregate for merge-on-append incremental
+    materialization.  Because chunks partition the corpus BY URL, every
+    per-triple statistic here is mergeable exactly:
+
+      part_sources  k-smallest urls within the chunk (the global k smallest
+                    are each within their own chunk's k smallest)
+      part_n        exact distinct url count (urls disjoint across chunks)
+      part_bj       max (pair_score, justification) struct
+      part_score    max pair_score (rounded only at merge time)
+    """
+    predicate_map = predicate_map or PREDICATE_MAP
+    spark = ev.sparkSession
+    preds = spark.createDataFrame(
+        [(a, b, p) for (a, b), p in predicate_map.items()],
+        "subj_label string, obj_label string, pred string")
+
+    a = ev.select(F.col("url"), F.col("label").alias("subj_label"),
+                  F.col("canon_id").alias("subj"),
+                  F.col("score").alias("subj_score"),
+                  F.col("sentence").alias("justification"))
+    b = ev.select(F.col("url"), F.col("label").alias("obj_label"),
+                  F.col("canon_id").alias("obj"),
+                  F.col("score").alias("obj_score"))
+    pairs = (
+        a.join(b, "url")
+        .join(F.broadcast(preds), ["subj_label", "obj_label"])
+        .filter(F.col("subj") != F.col("obj"))
+        .withColumn("pair_score",
+                    F.least(F.greatest("subj_score", F.lit(0.0)),
+                            F.greatest("obj_score", F.lit(0.0))))
+    )
+    per_salt = (
+        pairs
+        .withColumn("salt", F.pmod(F.crc32("url"), F.lit(n_salts)))
+        .groupBy("subj", "pred", "obj", "salt")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("url")), 1, max_sources)
+             .alias("salt_sources"),
+            F.countDistinct("url").alias("salt_n"),
+            F.max(F.struct(F.col("pair_score").alias("s"), "justification"))
+             .alias("bj"),
+            F.max("pair_score").alias("salt_score"),
+        )
+    )
+    return (
+        per_salt.groupBy("subj", "pred", "obj")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list("salt_sources")))),
+                1, max_sources).alias("part_sources"),
+            F.sum("salt_n").alias("part_n"),
+            F.max(F.struct(F.col("bj.s").alias("s"),
+                           F.col("bj.justification").alias("justification")))
+             .alias("part_bj"),
+            F.max("salt_score").alias("part_score"),
+        )
+    )
+
+
+def merge_partial_triples(partials: DataFrame,
+                          max_sources: int = 64) -> DataFrame:
+    """Merge chunk-partial aggregates into final triples — identical output
+    to a single-shot materialize_triples over the full evidence table."""
+    return (
+        partials.groupBy("subj", "pred", "obj")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list("part_sources")))),
+                1, max_sources).alias("sources"),
+            F.sum("part_n").alias("n_sources"),
+            F.max(F.struct(F.col("part_bj.s").alias("s"),
+                           F.col("part_bj.justification")))
+             .getField("justification").alias("justification"),
+            F.round(F.max("part_score"), 4).alias("score"),
+        )
+    )

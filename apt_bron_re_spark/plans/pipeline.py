@@ -94,6 +94,30 @@ class Pipeline:
         self.log.record(stage, fp, out, time.time() - t0)
         return out
 
+    def _fps(self) -> tuple[str, str, str, str, str]:
+        """The stage fingerprint chain (fp0..fp4) for the current config."""
+        fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
+        if self.fuse_extract:
+            fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention", "fused")
+        else:
+            fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention")
+        fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
+        fp3 = fingerprint(self._catalog_fp, "canonicalize")
+        fp4 = fingerprint(fp2, fp3, "materialize")
+        return fp0, fp1, fp2, fp3, fp4
+
+    def _write_buckets(self, df: DataFrame, name: str,
+                       partition_col: str = "pbucket") -> None:
+        """Exactly-once per-partition write for incremental chunks: dynamic
+        partition overwrite replaces exactly the chunk's partitions, so a
+        retry after a kill between data-commit and lineage-append rewrites
+        the same partitions instead of appending duplicates."""
+        (df.repartition(F.col(partition_col))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(partition_col)
+         .parquet(self._path(name)))
+
     # -- stages -----------------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = True) -> DataFrame:
         fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
@@ -137,7 +161,8 @@ class Pipeline:
                 residues, self.layer_map,
                 semantic=self.semantic, threshold=self.sim_threshold).persist()
             merged, residual = linking.merge_links(scored, links)
-            self._write(residual, "links_residual")
+            self._write(self._bucketed(residual), "links_residual",
+                        partition_by=["pbucket"])
             return self._bucketed(merged.drop("pbucket"))
 
         linked = self._run_stage("link", fp2, build_linked,
@@ -220,4 +245,114 @@ class Pipeline:
 
         total = self._read("mentions").count()
         self.log.record_summary("mention", fp1, total, 0.0)
+        return True
+
+    def _pending_chunks(self, stage: str, fp: str, n_chunks: int
+                        ) -> list[list[int]]:
+        done = self.log.completed_buckets(stage, fp)
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        size = max(1, (self.n_buckets + n_chunks - 1) // n_chunks)
+        return [pending[i:i + size] for i in range(0, len(pending), size)]
+
+    def run_link_incremental(self, n_chunks: int = 4,
+                             max_chunks: int | None = None) -> bool:
+        """Bucket-chunked link stage with per-bucket lineage resume.
+
+        The link stage consumes corpus-GLOBAL BM25 statistics (m, avgdl,
+        df) — naive per-chunk scoring would compute wrong idf — so the
+        globals are materialized ONCE from the complete mention table
+        (link_aux_stats/link_aux_df, guarded by a lineage row) and every
+        chunk scores against the frozen tables.  Everything else in the
+        stage (tf, dl, link generation, L6 merge, residuals) is url-local,
+        so chunking by url-bucket is exact.  Chunk writes use dynamic
+        partition overwrite: a retry rewrites its partitions idempotently.
+        """
+        _fp0, _fp1, fp2, _fp3, _fp4 = self._fps()
+        if self.log.is_complete("link", fp2):
+            return True
+        stage2 = self._read("mentions")
+
+        aux_fp = fingerprint(fp2, "link_aux")
+        if not self.log.is_complete("link_aux", aux_fp):
+            stats, df_ = bm25.bm25_global_stats(
+                mention.mentions_view(stage2),
+                mention.doc_lengths_view(stage2))
+            self._write(stats, "link_aux_stats")
+            self._write(df_, "link_aux_df")
+            self.log.record_summary("link_aux", aux_fp, 1, 0.0)
+        stats = self._read("link_aux_stats")
+        df_ = self._read("link_aux_df")
+
+        processed = 0
+        for chunk in self._pending_chunks("link", fp2, n_chunks):
+            if max_chunks is not None and processed >= max_chunks:
+                return False
+            t0 = time.time()
+            part = stage2.filter(F.col("pbucket").isin(chunk))
+            scored = bm25.add_bm25_frozen(
+                mention.mentions_view(part),
+                mention.doc_lengths_view(part), stats, df_).persist()
+            links = linking.build_links(
+                mention.residue_view(part), self.layer_map,
+                semantic=self.semantic, threshold=self.sim_threshold)
+            merged, residual = linking.merge_links(scored, links)
+            self._write_buckets(merged, "linked")
+            self._write_buckets(self._bucketed(residual), "links_residual")
+            counts = {r["pbucket"]: r["n"] for r in
+                      self._read("linked").filter(F.col("pbucket").isin(chunk))
+                      .groupBy("pbucket").agg(F.count("*").alias("n"))
+                      .collect()}
+            for b in chunk:
+                counts.setdefault(b, 0)
+            self.log.record_buckets("link", fp2, counts, time.time() - t0)
+            scored.unpersist()
+            processed += 1
+
+        self.log.record_summary("link", fp2,
+                                self._read("linked").count(), 0.0)
+        return True
+
+    def run_materialize_incremental(self, n_chunks: int = 4,
+                                    max_chunks: int | None = None) -> bool:
+        """Bucket-chunked materialize with merge-on-append: each chunk
+        writes an exact PARTIAL triple aggregate (k-smallest sources,
+        distinct-source count, best justification, max score — all
+        mergeable because chunks partition the corpus by url), and the
+        final merge reduces the partials into the triples table.  Identical
+        output to single-shot materialize_triples (tested)."""
+        _fp0, _fp1, fp2, fp3, fp4 = self._fps()
+        if self.log.is_complete("materialize", fp4):
+            return True
+        linked = self._read("linked")
+        residual = self._read("links_residual")
+        canon = self._run_stage(
+            "canonicalize", fp3,
+            lambda: canonicalize.canonical_map(self.spark, self.layer_map),
+            "canon", resume=True)
+
+        processed = 0
+        for chunk in self._pending_chunks("materialize", fp4, n_chunks):
+            if max_chunks is not None and processed >= max_chunks:
+                return False
+            t0 = time.time()
+            ev = materialize.evidence(
+                linked.filter(F.col("pbucket").isin(chunk)),
+                residual.filter(F.col("pbucket").isin(chunk)),
+                canon)
+            part = (materialize.partial_triples(ev)
+                    .withColumn("chunk_key", F.lit(min(chunk))))
+            self._write_buckets(part, "triples_partial",
+                                partition_col="chunk_key")
+            n_part = self._read("triples_partial").filter(
+                F.col("chunk_key") == min(chunk)).count()
+            self.log.record_buckets(
+                "materialize", fp4, {b: n_part for b in chunk},
+                time.time() - t0)
+            processed += 1
+
+        triples = materialize.merge_partial_triples(
+            self._read("triples_partial").drop("chunk_key"))
+        self._write(triples, "triples", partition_by=["pred"])
+        self.log.record_summary("materialize", fp4,
+                                self._read("triples").count(), 0.0)
         return True
