@@ -87,3 +87,52 @@ def extract_text(html: bytes | str) -> str:
     parser.feed(html)
     parser.close()
     return parser.result()
+
+
+# --------------------------------------------------------------------------
+# E2: the second, independent extraction path (md-flavoured)
+# --------------------------------------------------------------------------
+# The reference converts every report TWICE (txt and md,
+# convert_reports.py) and diffs the entity hits of the two extractions
+# (tests/compare_txt_md.py:20-69).  The rebuild's second path is a
+# regex-based markdown-flavoured extractor sharing no code with the
+# HTMLParser path above: headings get a "# " prefix, list items a "- "
+# prefix, formatting differs — but the differential test asserts the
+# structured entity hits agree between the two extractions.
+
+import re as _re
+
+_MD_DROP_RE = _re.compile(
+    r"<(script|style|noscript|template|head|svg|iframe|nav|header|footer|"
+    r"aside)\b[^>]*>.*?</\1\s*>",
+    _re.IGNORECASE | _re.DOTALL)
+_MD_COMMENT_RE = _re.compile(r"<!--.*?-->", _re.DOTALL)
+_MD_HEADING_RE = _re.compile(r"<h([1-6])\b[^>]*>", _re.IGNORECASE)
+_MD_LI_RE = _re.compile(r"<li\b[^>]*>", _re.IGNORECASE)
+_MD_BLOCK_RE = _re.compile(
+    r"</?(p|div|br|li|ul|ol|table|tr|td|th|h[1-6]|article|section|main|"
+    r"blockquote|pre|figure|figcaption|hr|dl|dt|dd|caption|thead|tbody|"
+    r"tfoot|form|title|body|html)\b[^>]*/?>",
+    _re.IGNORECASE)
+_MD_TAG_RE = _re.compile(r"<[^>]+>")
+
+
+def extract_text_md(html: bytes | str) -> str:
+    """Independent md-flavoured extractor (E2's second conversion path)."""
+    import html as _htmllib
+
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    s = _MD_COMMENT_RE.sub(" ", html)
+    s = _MD_DROP_RE.sub(" ", s)
+    s = _MD_HEADING_RE.sub(lambda m: "\n" + "#" * int(m.group(1)) + " ", s)
+    s = _MD_LI_RE.sub("\n- ", s)
+    s = _MD_BLOCK_RE.sub("\n", s)
+    s = _MD_TAG_RE.sub(" ", s)
+    s = _htmllib.unescape(s)
+    lines = []
+    for raw in s.split("\n"):
+        line = " ".join(raw.split())
+        if line and line not in ("#", "-"):
+            lines.append(line)
+    return "\n".join(lines)

@@ -41,6 +41,14 @@ HEADLINE = [
     "part_revenue",
     "ngram_jaccard_dups",
     "quality_score",
+    # training-data operators (all oracled since round 2)
+    "near_dup_pipeline",     # MinHash-LSH -> exact-Jaccard verify (scale path)
+    "minhash_dedup",
+    "simhash_docs",
+    "shared_passages",
+    "ann_lsh_topk",
+    "connected_components",
+    "lang_id_pred",
 ]
 
 # pages per unit scale factor for the synthetic KG corpus
