@@ -129,6 +129,51 @@ def main() -> None:
         ["regexp_extract_all"],
     ))
 
+    # 9. minhash: pure JVM (no Python eval nodes), partial+final agg over
+    # the exploded shingles, candidate equi-join on (band, bucket)
+    p = plan_of(SPARK_QUERIES["minhash_dedup"](spark, SF_DIR))
+    checks.append((
+        "minhash_dedup (LSH candidates)", p,
+        ["HashAggregate", "Generate"],
+        ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    ))
+
+    # 10. simhash: pure JVM bit-count aggregation
+    p = plan_of(SPARK_QUERIES["simhash_docs"](spark, SF_DIR))
+    checks.append((
+        "simhash_docs", p,
+        ["HashAggregate"],
+        ["ArrowEvalPython", "BatchEvalPython"],
+    ))
+
+    # 11. near-dup pipeline: LSH candidates then exact verify — still no
+    # Python and no cartesian blowup anywhere
+    p = plan_of(SPARK_QUERIES["near_dup_pipeline"](spark, SF_DIR))
+    checks.append((
+        "near_dup_pipeline (LSH -> Jaccard verify)", p,
+        ["HashAggregate"],
+        ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    ))
+
+    # 12. ANN multi-table LSH: the signature UDF is the one intended
+    # Arrow-batched Python node; candidates join on (table, bucket) with a
+    # broadcast of the (tiny) query side — never a cross join
+    p = plan_of(SPARK_QUERIES["ann_lsh_topk"](spark, SF_DIR))
+    checks.append((
+        "ann_lsh_topk (multi-table LSH ANN)", p,
+        ["ArrowEvalPython", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
+    # 13. shared_passages: Arrow-batched fingerprint UDF + anchor equi-join
+    # + count agg; no cross join
+    p = plan_of(SPARK_QUERIES["shared_passages"](spark, SF_DIR))
+    checks.append((
+        "shared_passages (fingerprint anchors)", p,
+        ["ArrowEvalPython", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain(\"formatted\"))", "",
              "Generated by scripts/explain_audit.py; each section lists the "
              "properties the plan MUST have for the 100 TB design point, "
