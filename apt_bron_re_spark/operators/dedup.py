@@ -120,27 +120,27 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     signature-similarity estimate for each pair."""
     sigs = minhash_signatures(docs, text_col)
 
+    # Buckets are md5'd INLINE inside the band explode so the 16 band rows
+    # per doc carry only (doc_id, band, 32-char bucket) — never the 64-long
+    # signature array.  The signatures join back exactly once, AFTER pair
+    # dedup, so the band-join shuffle is ~16x narrower.
     bands = sigs.select(
-        "doc_id", "sig",
+        "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda i: F.slice(F.col("sig"),
-                                  i * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                lambda i: F.md5(F.concat_ws(",", F.slice(
+                    F.col("sig"), i * ROWS_PER_BAND + 1, ROWS_PER_BAND))),
             )
-        ).alias("band", "band_sig"),
-    ).select(
-        "doc_id", "sig", "band",
-        F.md5(F.concat_ws(",", F.col("band_sig"))).alias("bucket"))
+        ).alias("band", "bucket"),
+    )
 
-    a = bands.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"),
-                     "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"),
-                     "band", "bucket")
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
     est = (
@@ -148,7 +148,14 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
                                    lambda x, y: x == y), lambda v: v))
         .cast("double") / N_PERM
     )
-    return pairs.select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
+    return (
+        pairs
+        .join(sigs.select(F.col("doc_id").alias("a_id"),
+                          F.col("sig").alias("a_sig")), "a_id")
+        .join(sigs.select(F.col("doc_id").alias("b_id"),
+                          F.col("sig").alias("b_sig")), "b_id")
+        .select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
