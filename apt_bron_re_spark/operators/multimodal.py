@@ -105,3 +105,40 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.sequence(F.lit(0), F.col("meta.duration_ms"),
                            F.lit(every_ms))).alias("frame_ts_ms"))
     )
+
+
+FRAME_FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_ts_ms", T.IntegerType(), False),
+    T.StructField("frame_sha", T.StringType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+])
+
+
+def frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Per-frame feature extraction: frame-sample plan joined back to the
+    payload, then one Arrow-batched UDF row per (asset, frame).  The frame
+    'decode' is the deterministic stub seeded by (payload, frame_ts) — a
+    production build replaces it with an ffmpeg seek+decode behind the
+    same signature; the Spark plumbing (explode -> join -> mapInPandas
+    batch shape) is the real, scale-relevant part."""
+    plan = frame_sample_plan(assets, every_ms)
+    frames = plan.join(assets.select("asset_id", "payload"), "asset_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, ts, payload in zip(
+                    pdf["asset_id"], pdf["frame_ts_ms"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                seed = raw + int(ts).to_bytes(8, "little")
+                rows.append({
+                    "asset_id": int(asset_id),
+                    "frame_ts_ms": int(ts),
+                    "frame_sha": hashlib.sha256(seed).hexdigest(),
+                    "feature": decode_stub(seed, "video"),
+                })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in FRAME_FEATURE_SCHEMA])
+
+    return frames.mapInPandas(run, FRAME_FEATURE_SCHEMA)

@@ -180,3 +180,17 @@ def test_frame_sample_plan(spark):
     vids = assets.filter("kind = 'video'").count()
     assert plan.count() >= vids
     assert plan.groupBy("asset_id").count().count() == vids
+
+
+def test_frame_features(spark):
+    assets = multimodal.synth_assets(spark, 9)
+    plan_n = multimodal.frame_sample_plan(assets, every_ms=5000).count()
+    feats = multimodal.frame_features(assets, every_ms=5000).collect()
+    assert len(feats) == plan_n
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic per (asset, frame_ts); distinct frames -> distinct shas
+    shas = {(r.asset_id, r.frame_ts_ms): r.frame_sha for r in feats}
+    assert len(shas) == len(feats)
+    again = {(r.asset_id, r.frame_ts_ms): r.frame_sha
+             for r in multimodal.frame_features(assets, every_ms=5000).collect()}
+    assert again == shas
