@@ -1,0 +1,304 @@
+"""Streaming KG construction — stages 3-5 over arriving pages.
+
+The reference is a pure batch pipeline (SURVEY.md §1.3), but a
+Common-Crawl-scale deployment ingests pages continuously.  Two streaming
+execution shapes, both reusing the batch operators:
+
+1. **Exact micro-batch pipeline** (``run_kg_stream``): foreachBatch runs
+   the REAL stage 3-5 logic (BM25 scoring against FROZEN global stats,
+   variant+semantic linking, evidence, salted partial triple aggregation)
+   on every micro-batch and appends an exact partial aggregate partitioned
+   by ``batch_id``.  The partials merge associatively
+   (operators/materialize.py ``partial_triples``/``merge_partial_triples``
+   — correct because a page's url lives in exactly one micro-batch, the
+   same url-disjointness that makes the batch incremental chunks exact),
+   so ``merged_triples`` equals the single-shot batch pipeline EXACTLY
+   (pytest-pinned).  Idempotence: a foreachBatch replay after failure
+   reuses the same ``batch_id``; dynamic partition overwrite rewrites that
+   partition instead of appending duplicates — the same exactly-once
+   mechanism as plans/pipeline.py ``_write_buckets``.
+
+   The BM25 globals (m, avgdl, df) must be frozen from a corpus snapshot
+   — the same rule the batch incremental link stage follows
+   (plans/pipeline.py run_link_incremental): naive per-batch stats would
+   compute wrong idf.
+
+2. **Live triple view** (``stream_evidence_pairs`` + ``stream_triples_live``):
+   a fully streaming stateful rollup.  Per-document evidence pairing runs
+   row-locally inside one ``mapInPandas`` (a page's mentions never leave
+   the task — zero shuffle before the keyed state), then
+   ``applyInPandasWithState`` keyed by (subj, pred, obj) maintains BOUNDED
+   per-key state: exact distinct-source count, the k lexicographically
+   smallest source urls, the best-scored justification, and the max score
+   — the same merge algebra as the batch salted aggregation, so on a
+   url-disjoint stream the final emitted row per key equals the batch
+   ``materialize_triples(evidence(mentions, None, canon))`` row exactly
+   (pytest-pinned).  This view covers dictionary/NER mentions (stages 1-2
+   + canonicalize + materialize); the link-stage residual evidence is
+   inherently corpus-global (frozen BM25) and lives in shape 1.
+
+Scale notes: state per key is O(max_sources) regardless of how many pages
+mention a hub edge — the streaming twin of the batch salted two-phase
+k-smallest design.  The pairing mapInPandas carries the compiled catalog +
+canon map in the UDF closure (catalog-sized, broadcast semantics).
+
+Sink note: the live view emits in UPDATE mode, so its sink must support
+updates AND checkpoint recovery — foreachBatch (upsert into a key-value /
+Iceberg MERGE target) in production.  The memory sink accepts update mode
+but cannot recover from a checkpoint (restart-with-state verified against
+a foreachBatch sink: counts carry across restarts exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog.build import compile_catalog
+from ..config import PREDICATE_MAP
+from ..functions.extract_text import extract_text
+from ..operators import bm25, linking, materialize, mention
+from ..operators.canonicalize import canonical_map
+from ..operators.doc_core import NerTagger, process_document
+
+PAIR_SCHEMA = T.StructType([
+    T.StructField("subj", T.StringType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("obj", T.StringType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("pair_score", T.DoubleType(), False),
+    T.StructField("justification", T.StringType(), True),
+])
+
+TRIPLE_SCHEMA = T.StructType([
+    T.StructField("subj", T.StringType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("obj", T.StringType(), False),
+    T.StructField("sources", T.ArrayType(T.StringType()), False),
+    T.StructField("n_sources", T.LongType(), False),
+    T.StructField("justification", T.StringType(), True),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("sources", T.ArrayType(T.StringType())),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("bj_s", T.DoubleType()),
+    T.StructField("bj", T.StringType()),
+])
+
+
+def canon_as_dict(spark: SparkSession,
+                  layer_map: dict[str, list[dict]]) -> dict:
+    """{(label, original_id): canon_id} — the catalog-sized canonical map
+    (stage 4 output), collected once for closure broadcast."""
+    return {(r["label"], r["original_id"]): r["canon_id"]
+            for r in canonical_map(spark, layer_map).collect()}
+
+
+def _sent_key(score: float, sentence: str | None) -> tuple:
+    """Total order matching Spark's struct(score, sentence) max: null
+    sentence sorts below any string."""
+    return (score, sentence is not None, sentence or "")
+
+
+def _doc_pairs(results: dict, canon_map: dict,
+               predicate_map: dict) -> dict:
+    """Per-document evidence pairing — the row-local twin of
+    materialize.evidence + the pairing join in materialize_triples,
+    restricted to one url.  Returns {(subj, pred, obj): (pair_score,
+    justification)} with the per-url max already folded (associative with
+    the cross-url aggregation, so the global result is unchanged)."""
+    # evidence: best (score, sentence) per (label, canon_id)
+    ev: dict[tuple[str, str], tuple[float, str | None]] = {}
+    for label, entries in results.items():
+        for ent in entries:
+            entity_id = ent.get("original_id") or ent.get("value")
+            score = float(ent.get("NER_score", 0.0) or 0.0)
+            sentence = ent.get("sentence")
+            canon_id = canon_map.get((label, entity_id), entity_id)
+            key = (label, canon_id)
+            cur = ev.get(key)
+            if cur is None:
+                ev[key] = (score, sentence)
+            else:
+                best_sent = max((_sent_key(*cur), cur),
+                                (_sent_key(score, sentence),
+                                 (score, sentence)))[1][1]
+                ev[key] = (max(cur[0], score), best_sent)
+
+    by_label: dict[str, list[tuple[str, float, str | None]]] = {}
+    for (label, canon_id), (score, sentence) in ev.items():
+        by_label.setdefault(label, []).append((canon_id, score, sentence))
+
+    pairs: dict[tuple[str, str, str], tuple[float, str | None]] = {}
+    for (subj_label, obj_label), pred in predicate_map.items():
+        for subj, s_score, s_sent in by_label.get(subj_label, ()):
+            for obj, o_score, _o_sent in by_label.get(obj_label, ()):
+                if subj == obj:
+                    continue
+                pair_score = min(max(s_score, 0.0), max(o_score, 0.0))
+                key = (subj, pred, obj)
+                cur = pairs.get(key)
+                cand = (pair_score, s_sent)
+                if cur is None or (_sent_key(*cand) > _sent_key(*cur)):
+                    pairs[key] = cand
+    return pairs
+
+
+def stream_evidence_pairs(pages_stream: DataFrame,
+                          layer_map: dict[str, list[dict]],
+                          canon_map: dict,
+                          predicate_map: dict | None = None,
+                          lang: str = "en") -> DataFrame:
+    """pages stream -> (subj, pred, obj, url, pair_score, justification):
+    extract + mention + canonicalize + per-doc pairing in ONE row-local
+    mapInPandas pass (works identically on a batch DataFrame)."""
+    predicate_map = predicate_map or PREDICATE_MAP
+    catalog = compile_catalog(layer_map)
+    tagger = NerTagger(layer_map)
+    out_cols = [f.name for f in PAIR_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text(html)
+                try:
+                    results, _residue, _dl = process_document(
+                        text, catalog, tagger)
+                except Exception:  # reference catch-and-log per doc
+                    continue
+                for (subj, pred, obj), (s, j) in _doc_pairs(
+                        results, canon_map, predicate_map).items():
+                    rows.append({"subj": subj, "pred": pred, "obj": obj,
+                                 "url": url, "pair_score": s,
+                                 "justification": j})
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    filtered = pages_stream.filter(F.col("lang") == lang) \
+        if lang is not None else pages_stream
+    return filtered.select("url", "html").mapInPandas(run, PAIR_SCHEMA)
+
+
+def stream_triples_live(pairs: DataFrame,
+                        max_sources: int = 64) -> DataFrame:
+    """Stateful streaming rollup of evidence pairs into live triples.
+
+    Keyed by (subj, pred, obj); per-key state is bounded: (exact distinct
+    source count, k-smallest source urls, max score, best justification).
+    Assumes each url arrives in exactly one micro-batch (file-drop / log
+    semantics — the same url-disjointness the batch incremental chunks
+    rely on); duplicate urls *within* a batch are deduped exactly.
+    Emits the updated triple row per key per trigger (update mode)."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, sources, score, bj_s, bj = state.get
+            sources = list(sources)
+        else:
+            n, sources, score, bj_s, bj = 0, [], 0.0, float("-inf"), None
+
+        seen_urls: set[str] = set()
+        for pdf in pdfs:
+            for url, s, j in zip(pdf["url"], pdf["pair_score"],
+                                 pdf["justification"]):
+                j = None if pd.isna(j) else j
+                s = float(s)
+                if url not in seen_urls:
+                    seen_urls.add(url)
+                    n += 1
+                score = max(score, s)
+                if _sent_key(s, j) > _sent_key(bj_s, bj):
+                    bj_s, bj = s, j
+            sources = sorted(set(sources) | seen_urls)[:max_sources]
+
+        state.update((n, sources, score, bj_s, bj))
+        subj, pred, obj = key
+        yield pd.DataFrame([{
+            "subj": subj, "pred": pred, "obj": obj,
+            "sources": sources, "n_sources": n,
+            "justification": bj, "score": round(score, 4),
+        }])
+
+    return pairs.groupBy("subj", "pred", "obj").applyInPandasWithState(
+        update, TRIPLE_SCHEMA, _STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+# --------------------------------------------------------------------------
+# Shape 1: exact micro-batch pipeline (stages 3-5 in foreachBatch)
+# --------------------------------------------------------------------------
+
+def kg_batch_step(pages_batch: DataFrame, batch_id: int,
+                  layer_map: dict[str, list[dict]],
+                  stats: DataFrame, df_table: DataFrame,
+                  canon: DataFrame, out_path: str,
+                  semantic: bool = True,
+                  threshold: float | None = None,
+                  lang: str = "en") -> None:
+    """One exact micro-batch of stages 2-5: mention -> frozen-stats BM25 ->
+    link -> evidence -> PARTIAL triple aggregate, appended under
+    ``batch_id=<id>`` with dynamic partition overwrite (replaying the same
+    batch_id rewrites its partition — exactly-once)."""
+    from ..config import SIM_THRESHOLD
+    threshold = SIM_THRESHOLD if threshold is None else threshold
+
+    filtered = (pages_batch.filter(F.col("lang") == lang)
+                if lang is not None else pages_batch)
+    stage2 = mention.detect_mentions(
+        filtered.select("url", "html"), layer_map, from_html=True).persist()
+    scored = bm25.add_bm25_frozen(
+        mention.mentions_view(stage2),
+        mention.doc_lengths_view(stage2), stats, df_table)
+    links = linking.build_links(
+        mention.residue_view(stage2), layer_map,
+        semantic=semantic, threshold=threshold)
+    merged, residual = linking.merge_links(scored, links)
+    ev = materialize.evidence(merged, residual, canon)
+    part = (materialize.partial_triples(ev)
+            .withColumn("batch_id", F.lit(int(batch_id))))
+    (part.repartition(F.col("batch_id"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id")
+     .parquet(out_path))
+    stage2.unpersist()
+
+
+def run_kg_stream(pages_stream: DataFrame,
+                  layer_map: dict[str, list[dict]],
+                  stats: DataFrame, df_table: DataFrame,
+                  canon: DataFrame, out_path: str,
+                  checkpoint: str,
+                  semantic: bool = True,
+                  threshold: float | None = None,
+                  lang: str = "en",
+                  available_now: bool = False):
+    """Start the exact micro-batch KG pipeline over a pages stream.
+    Returns the StreamingQuery; read the result with ``merged_triples``."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        kg_batch_step(batch_df, batch_id, layer_map, stats, df_table,
+                      canon, out_path, semantic=semantic,
+                      threshold=threshold, lang=lang)
+
+    writer = (pages_stream.writeStream.foreachBatch(step)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_triples(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the streamed per-batch partials into final triples —
+    identical output to the single-shot batch materialize (tested)."""
+    partials = spark.read.parquet(out_path).drop("batch_id")
+    return materialize.merge_partial_triples(partials)
