@@ -87,12 +87,20 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingle_hash_col(text_col: Column, k: int = SHINGLE_K) -> Column:
     """Array of 60-bit hashes of the k-word shingles of ``text_col``,
     reduced mod MINHASH_PRIME.  Documents shorter than k words yield one
-    shingle of all their words (possibly the empty string)."""
-    toks = _words(text_col)
-    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    shingle of all their words (possibly the empty string).
+
+    The token array is bound ONCE as a lambda variable (via the
+    single-element-array transform) before the per-position lambda runs:
+    interpreted higher-order lambdas re-evaluate captured outer
+    expressions per element, so referencing the raw tokenize expression
+    inside the position lambda is O(doc_len) per shingle — quadratic per
+    document (measured 3.9x slower at sf0.1)."""
+    def inner(t: Column) -> Column:
+        n_sh = F.greatest(F.size(t) - (k - 1), F.lit(1))
+        return F.transform(F.sequence(F.lit(1), n_sh),
+                           lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+
+    shingles = F.flatten(F.transform(F.array(_words(text_col)), inner))
     return F.transform(shingles, lambda s: _md5_60(s) % MINHASH_PRIME)
 
 

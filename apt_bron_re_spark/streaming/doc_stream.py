@@ -32,33 +32,53 @@ DOC_DDL = ("doc_id bigint, lang string, source string, n_chars bigint, "
 
 
 def minhash_signature_expr(text_col: Column) -> Column:
-    """Per-row MinHash signature: array of 64 mins over the shingle-hash
-    array — value-identical to operators.dedup.minhash_signatures."""
-    hashes = shingle_hash_col(text_col)
+    """Per-row MinHash signature: one fold over the shingle-hash array
+    with an array<long>[64] accumulator — value-identical to
+    operators.dedup.minhash_signatures (pytest-pinned).
+
+    The hash array is bound ONCE as a lambda variable: interpreted
+    higher-order lambdas re-evaluate captured outer expressions on every
+    use, so the naive '64 separate array_min(transform(hashes, ...))'
+    form recomputes the md5 shingle pipeline 64x per row (measured 18x
+    slower)."""
     a, b = _perm_params()
+    ab = F.array(*[F.struct(F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
+                   for i in range(N_PERM)])
+    p = F.lit(MINHASH_PRIME)
 
-    def perm_min(ai: int, bi: int) -> Column:
-        return F.array_min(F.transform(
-            hashes, lambda h: (h * F.lit(ai) + F.lit(bi)) % MINHASH_PRIME))
+    def fold(hs: Column) -> Column:
+        init = F.array_repeat(p.cast("long"), N_PERM)
+        return F.aggregate(
+            hs, init,
+            lambda acc, h: F.zip_with(
+                acc, ab, lambda x, c: F.least(x, (h * c.a + c.b) % p)))
 
-    return F.array(*[perm_min(a[i], b[i]) for i in range(N_PERM)])
+    return F.transform(F.array(shingle_hash_col(text_col)), fold)[0]
 
 
 def simhash_expr(text_col: Column) -> Column:
-    """Per-row 60-bit SimHash — value-identical to operators.dedup.simhash."""
+    """Per-row 60-bit SimHash: 60 scalar bit-sum folds over the token-hash
+    array, packed — value-identical to operators.dedup.simhash
+    (pytest-pinned).  The hash array is bound once (same rule as
+    minhash_signature_expr); each fold then reads the bound lambda
+    variable instead of re-running the md5 token pipeline 60x per row.
+    (shiftright's bit count must be a Python int, which rules out a
+    single zip_with-over-bit-positions fold.)"""
+
+    def fold(hs: Column) -> Column:
+        packed = None
+        for k in range(SIMHASH_BITS):
+            bit_sum = F.aggregate(
+                hs, F.lit(0).cast("long"),
+                lambda acc, h: acc + (F.shiftright(h, k)
+                                      .bitwiseAND(F.lit(1)) * 2 - 1))
+            term = F.when(bit_sum > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            packed = term if packed is None else packed + term
+        return packed.cast("long")
+
     hashes = F.transform(F.array_distinct(_words(text_col)),
                          lambda t: _md5_60(t))
-    def bit_sum(k: int) -> Column:
-        return F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, k)
-                                  .bitwiseAND(F.lit(1)) * 2 - 1))
-
-    packed = None
-    for k in range(SIMHASH_BITS):
-        term = F.when(bit_sum(k) > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        packed = term if packed is None else packed + term
-    return F.coalesce(packed.cast("long"), F.lit(0))
+    return F.coalesce(F.transform(F.array(hashes), fold)[0], F.lit(0))
 
 
 def stream_documents(spark: SparkSession, path: str,
