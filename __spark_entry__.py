@@ -5,9 +5,10 @@ driver's sf0.001 tables; ``queries()``/``oracle_sql()`` expose the operator
 registry in apt_bron_re_spark/queries.py (one entry per operator family
 from SURVEY.md §2 + the training-data-pipeline operators), each verified
 against its DuckDB oracle by tests/test_oracle_parity.py before the driver
-ever sees it.  32 of 34 entries are oracled (including minhash, simhash,
-fingerprint anchors, multi-table LSH ANN and recursive-SQL connected
-components); the remaining two (``kg_triples``, ``multimodal_meta``) run
+ever sees it.  34 of 36 entries are oracled (including minhash, simhash,
+fingerprint anchors, multi-table LSH ANN, sampled-centroid IVF ANN,
+embedding-cosine near-dup pairs and recursive-SQL connected components);
+the remaining two (``kg_triples``, ``multimodal_meta``) run
 on synthetic inputs the oracle views cannot see, so they get the driver's
 rows-only check — with array columns projected to strings so the result
 canonicalizer can sort and hash them.

@@ -201,13 +201,22 @@ def _chunk_layout(n_chunks: int, n_bits: int = SIMHASH_BITS
     return out
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash with GUARANTEED recall: the signature is
     split into max_hamming+1 disjoint chunks, so by pigeonhole any pair
     within Hamming distance <= max_hamming shares at least one exact chunk
     and is generated as a candidate; candidates are verified exactly with
-    bit_count(xor)."""
+    bit_count(xor).
+
+    The Hamming budget trades recall scope against candidate density:
+    chunks are ~60/(max_hamming+1) bits wide, and unrelated docs collide
+    on a chunk with probability ~2^-width, so the candidate join degrades
+    toward quadratic as the budget grows (width 15 -> 0.003% random
+    collisions; width 7 -> ~1%).  The default 3 (4 chunks of 15 bits) is
+    the classic web-dedup setting (Manku et al., WWW'07, 64-bit f=3) and
+    keeps the 100 TB candidate volume near-linear; raise it only on small
+    corpora."""
     sh = simhash(docs, text_col)
     layout = _chunk_layout(max_hamming + 1)
     chunks = sh.select(

@@ -218,7 +218,8 @@ def build_links(residues: DataFrame,
 # L6: merge links into mentions
 # --------------------------------------------------------------------------
 
-def merge_links(mentions: DataFrame, links: DataFrame
+def merge_links(mentions: DataFrame, links: DataFrame,
+                mention_keys: DataFrame | None = None
                 ) -> tuple[DataFrame, DataFrame]:
     """Returns (mentions_linked, residual_links).
 
@@ -226,6 +227,14 @@ def merge_links(mentions: DataFrame, links: DataFrame
     annotations and ner_score = max(mention, link) where a link matched
     (ner.py:313-326).  residual_links: links whose (url, label, id) has no
     mention — kept as standalone low-confidence evidence (ner.py:328-337).
+
+    ``mention_keys`` (optional): a cheap (url, category, oid_l)-distinct
+    source for the residual anti-join.  The anti-join only needs mention
+    KEYS, which no upstream annotation (BM25 etc.) can change — passing a
+    narrow pre-annotation view here lets the caller leave the wide
+    ``mentions`` plan entirely un-persisted and single-consumer (measured:
+    persisting the wide scored table cost more in memory churn than the
+    recompute it saved).
     """
     best = (
         links
@@ -276,8 +285,10 @@ def merge_links(mentions: DataFrame, links: DataFrame
               "link_semantic_score", "link_name", "link_original_id")
     )
 
+    if mention_keys is None:
+        mention_keys = m.select("url", "category", "oid_l").distinct()
     residual = (
-        best.join(m.select("url", "category", "oid_l").distinct(),
+        best.join(mention_keys,
                   ["url", "category", "oid_l"], "left_anti")
         .select(
             "url", "category",

@@ -103,8 +103,13 @@ def materialize_triples(ev: DataFrame,
                   F.col("canon_id").alias("obj"),
                   F.col("score").alias("obj_score"))
 
+    # the pairing self-join is forced to a shuffle join: both sides scale
+    # with the data, and an AQE runtime broadcast of the b side (observed
+    # at bench scale when stats sit near the threshold) serializes the
+    # stage on a driver-side hash build — the bench-scale twin of the
+    # "never broadcast data-sized sides" rule.
     pairs = (
-        a.join(b, "url")
+        a.join(b.hint("shuffle_merge"), "url")
         .join(F.broadcast(preds), ["subj_label", "obj_label"])
         .filter(F.col("subj") != F.col("obj"))
         .withColumn("pair_score",
@@ -170,8 +175,13 @@ def partial_triples(ev: DataFrame,
     b = ev.select(F.col("url"), F.col("label").alias("obj_label"),
                   F.col("canon_id").alias("obj"),
                   F.col("score").alias("obj_score"))
+    # the pairing self-join is forced to a shuffle join: both sides scale
+    # with the data, and an AQE runtime broadcast of the b side (observed
+    # at bench scale when stats sit near the threshold) serializes the
+    # stage on a driver-side hash build — the bench-scale twin of the
+    # "never broadcast data-sized sides" rule.
     pairs = (
-        a.join(b, "url")
+        a.join(b.hint("shuffle_merge"), "url")
         .join(F.broadcast(preds), ["subj_label", "obj_label"])
         .filter(F.col("subj") != F.col("obj"))
         .withColumn("pair_score",

@@ -100,6 +100,127 @@ def lsh_signatures(df: DataFrame, dim: int,
     return df.withColumn("buckets", sig(F.col(vec_col)))
 
 
+def embedding_near_pairs(vectors: DataFrame, dim: int,
+                         threshold: float = 0.4,
+                         n_tables: int = N_TABLES,
+                         n_planes: int = N_PLANES,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: OR-amplified sign-LSH bucket
+    candidates, then exact cosine verification >= ``threshold``.
+
+    The dedup-family twin of minhash_candidates for dense vectors: the
+    self-join is an equi-join on (table, bucket) — shuffle O(n x tables),
+    never O(n^2).  Band rows carry IDS ONLY (the vectors re-join once
+    after pair dedup, the same shuffle-narrowing as the MinHash band
+    join).  Bucket bits are engine-exact (integer-quantized dot products),
+    so the DuckDB oracle reproduces the candidate set bit-for-bit."""
+    bands = (lsh_signatures(vectors, dim, n_tables, n_planes, vec_col)
+             .select(id_col, F.posexplode("buckets").alias("tbl", "bucket")))
+    a = bands.select(F.col(id_col).alias("a_id"), "tbl", "bucket")
+    b = bands.select(F.col(id_col).alias("b_id"), "tbl", "bucket")
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    va = vectors.select(F.col(id_col).alias("a_id"),
+                        F.col(vec_col).alias("a_emb"))
+    vb = vectors.select(F.col(id_col).alias("b_id"),
+                        F.col(vec_col).alias("b_emb"))
+    sim = F.round(cosine_expr(F.col("a_emb"), F.col("b_emb")), 4)
+    return (pairs.join(va, "a_id").join(vb, "b_id")
+            .select("a_id", "b_id", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def _quant(vec) -> "F.Column":
+    """floor(x*1000 + 0.5) as longs — the same exact integer grid as the
+    LSH signatures, so every assignment comparison is engine-exact."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT + 0.5)
+                       .cast("long"))
+
+
+def _idot(a, b):
+    """Integer dot product (exact in any engine / summation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """(id, c_id): each vector assigned to the centroid maximizing the
+    quantized-integer inner product (ties -> smallest centroid id).
+
+    The standard IVF coarse-quantization pass: n x n_centroids dot
+    products, centroids broadcast, argmax via an algebraic max(struct)
+    aggregation (map-side combined — the shuffle carries ONE row per
+    vector per map partition, never the n x k cross join)."""
+    v = vectors.select(F.col(id_col), _quant(F.col(vec_col)).alias("v_q"))
+    best = (
+        v.crossJoin(F.broadcast(centroids))
+        .select(id_col,
+                F.struct(_idot(F.col("v_q"), F.col("c_q")).alias("ip"),
+                         (-F.col("c_id")).alias("neg_c")).alias("s"))
+        .groupBy(id_col)
+        .agg(F.max("s").alias("s"))
+    )
+    return best.select(id_col, (-F.col("s.neg_c")).alias("c_id"))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             centroid_stride: int = 50, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_emb") -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into inverted
+    lists (ivf_assign), probe the ``nprobe`` centroids nearest to each
+    query, exact-rerank only those lists.
+
+    Centroids are SAMPLED deterministically (every ``centroid_stride``-th
+    vector id) — no trained k-means, so the quantizer is engine-exact and
+    SQL-expressible end-to-end (the DuckDB oracle reproduces assignment
+    bit-for-bit via the same integer grid).  On clustered real-world
+    embeddings sampled centroids land inside clusters and recall tracks
+    trained IVF closely (pytest gates recall@10 >= 0.9 on a planted
+    clustered corpus); on adversarially uniform vectors recall degrades
+    toward nprobe/n_centroids like any IVF — use lsh_topk there.
+
+    Scale shape: assignment is a broadcast cross product + algebraic
+    argmax (no data-sized shuffle beyond one row per vector); the probe
+    join is an equi-join on c_id, so the candidate shuffle is
+    O(n x nprobe / n_centroids) per query — never O(n^2)."""
+    cent = (vectors.filter(F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0)
+            .select(F.col(id_col).alias("c_id"),
+                    _quant(F.col(vec_col)).alias("c_q")))
+    inv = (ivf_assign(vectors, cent, id_col, vec_col)
+           .join(vectors, id_col))
+
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       _quant(F.col(q_vec_col)).alias("qq"))
+    wq = Window.partitionBy(q_id_col).orderBy(
+        F.desc("ip"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(q_id_col, q_vec_col, "c_id",
+                _idot(F.col("qq"), F.col("c_q")).alias("ip"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(q_id_col, q_vec_col, "c_id")
+    )
+
+    cands = inv.join(F.broadcast(probes), "c_id").select(
+        q_id_col, id_col, vec_col, q_vec_col)
+    scored = cands.select(
+        F.col(q_id_col), F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 4)
+        .alias("cos_sim"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_tables: int = N_TABLES, n_planes: int = N_PLANES,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -70,10 +70,24 @@ class Pipeline:
             "pbucket", F.pmod(F.crc32(F.col("url")), F.lit(self.n_buckets)).cast("int"))
 
     def _write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
-        if partition_by:
-            # co-locate each output partition in one task -> one file per
-            # partition dir instead of (tasks x partitions) small files
-            df = df.repartition(*[F.col(c) for c in partition_by])
+        if partition_by == ["pbucket"]:
+            # WIDE bucketed stage tables: pin the partition COUNT
+            # (REPARTITION_BY_NUM).  A bare repartition(col) is
+            # AQE-coalescible, and AQE's 64MB advisory size collapses the
+            # zstd parquet encode to 1-2 tasks — a data-sized SERIAL tail
+            # that capped the link stage at ~1.3x on 4 cores (measured at
+            # 256k pages; the encode is CPU-bound, not IO).  pbucket is
+            # uniform (crc32 % n), so pinning loses no skew handling.
+            df = df.repartition(self.n_buckets, F.col("pbucket"))
+        elif partition_by:
+            # low-cardinality partition columns (pred): ALSO pinned.  A
+            # rebalance hint was tried here and AQE's 64MB advisory
+            # re-serialized the triples encode into 1 task on most runs
+            # (materialize stage 31 s <-> 132 s across identical reps);
+            # hashing the ~11 preds into n_buckets partitions gives ~8-10
+            # stable write tasks (measured: materialize 66.8 -> 36.2 s at
+            # 256k pages, local[4]).
+            df = df.repartition(self.n_buckets, *[F.col(c) for c in partition_by])
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -112,7 +126,7 @@ class Pipeline:
         partition overwrite replaces exactly the chunk's partitions, so a
         retry after a kill between data-commit and lineage-append rewrites
         the same partitions instead of appending duplicates."""
-        (df.repartition(F.col(partition_col))
+        (df.repartition(self.n_buckets, F.col(partition_col))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(partition_col)
@@ -150,17 +164,24 @@ class Pipeline:
         fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
 
         def build_linked() -> DataFrame:
-            # scored + links feed BOTH outputs (linked, links_residual);
-            # persist so the residual write doesn't recompute the whole
-            # BM25 + linking lineage a second time for the linked write.
-            # dl comes free from the mention stage's 'doc' rows — no text
-            # re-scan.
+            # The wide scored plan is SINGLE-CONSUMER (the linked write):
+            # the residual anti-join gets its mention keys from a narrow
+            # pre-BM25 projection (column-pruned parquet scan), so nothing
+            # wide is persisted — persisting 3M+ wide rows cost more in
+            # memory churn/GC than the recompute it saved (and hurt
+            # thread-scaling).  dl comes free from the mention stage's
+            # 'doc' rows — no text re-scan.
             scored = bm25.add_bm25(
-                mentions, dls=mention.doc_lengths_view(stage2)).persist()
+                mentions, dls=mention.doc_lengths_view(stage2))
             links = linking.build_links(
                 residues, self.layer_map,
                 semantic=self.semantic, threshold=self.sim_threshold).persist()
-            merged, residual = linking.merge_links(scored, links)
+            keys = (mentions.select(
+                "url", "category",
+                F.lower(F.coalesce("original_id", F.lit(""))).alias("oid_l"))
+                .distinct())
+            merged, residual = linking.merge_links(scored, links,
+                                                   mention_keys=keys)
             self._write(self._bucketed(residual), "links_residual",
                         partition_by=["pbucket"])
             return self._bucketed(merged.drop("pbucket"))
@@ -289,13 +310,19 @@ class Pipeline:
                 return False
             t0 = time.time()
             part = stage2.filter(F.col("pbucket").isin(chunk))
+            part_mentions = mention.mentions_view(part)
             scored = bm25.add_bm25_frozen(
-                mention.mentions_view(part),
-                mention.doc_lengths_view(part), stats, df_).persist()
+                part_mentions,
+                mention.doc_lengths_view(part), stats, df_)
             links = linking.build_links(
                 mention.residue_view(part), self.layer_map,
                 semantic=self.semantic, threshold=self.sim_threshold)
-            merged, residual = linking.merge_links(scored, links)
+            keys = (part_mentions.select(
+                "url", "category",
+                F.lower(F.coalesce("original_id", F.lit(""))).alias("oid_l"))
+                .distinct())
+            merged, residual = linking.merge_links(scored, links,
+                                                   mention_keys=keys)
             self._write_buckets(merged, "linked")
             self._write_buckets(self._bucketed(residual), "links_residual")
             counts = {r["pbucket"]: r["n"] for r in
@@ -305,7 +332,6 @@ class Pipeline:
             for b in chunk:
                 counts.setdefault(b, 0)
             self.log.record_buckets("link", fp2, counts, time.time() - t0)
-            scored.unpersist()
             processed += 1
 
         self.log.record_summary("link", fp2,

@@ -448,6 +448,26 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries_df, dim=64, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: sampled-centroid coarse quantization (every 25th vec_id),
+    probe the 5 nearest centroids per query, exact re-rank
+    (similarity.ivf_topk; integer-quantized assignment is engine-exact)."""
+    from .operators.similarity import ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = (emb.filter("vec_id < 5")
+                  .select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_emb")))
+    return ivf_topk(emb, queries_df, k=5, centroid_stride=25, nprobe=5)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: OR-amplified sign-LSH candidates,
+    exact cosine >= 0.4 verify (similarity.embedding_near_pairs)."""
+    from .operators.similarity import embedding_near_pairs
+    return embedding_near_pairs(load(spark, sf_dir, "embeddings"),
+                                dim=64, threshold=0.4)
+
+
 def q_near_dup_pipeline(spark, sf_dir):
     """The headline near-dup query: LSH candidate generation -> exact
     n-gram-Jaccard verification (scale path; replaces the blocked all-pairs
@@ -883,6 +903,79 @@ ORACLES["shared_passages"] = f"""
 
 ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
 
+def _emb_near_dup_sql() -> str:
+    """Pairwise twin of _ann_lsh_sql: same baked integer hyperplanes, OR
+    of per-table bucket equality, exact cosine >= 0.4 verify."""
+    from .operators.similarity import N_PLANES, N_TABLES, hyperplanes
+    planes = hyperplanes(64, N_TABLES, N_PLANES).astype(int)
+    bucket_exprs = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(qv, {planes[t, i].tolist()}::DOUBLE[])"
+            f" > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(N_PLANES))
+        bucket_exprs.append(f"({bits}) AS bkt{t}")
+    or_clause = " OR ".join(f"a.bkt{t} = b.bkt{t}" for t in range(N_TABLES))
+    cos = ("list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+           "(SQRT(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+           " * SQRT(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))")
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding::DOUBLE[],
+                                x -> floor(x * 1000 + 0.5)) AS qv
+          FROM embeddings),
+        sigb AS (SELECT vec_id, embedding,
+                        {", ".join(bucket_exprs)} FROM sig)
+        SELECT a_id, b_id, cos_sim FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ROUND({cos}, 4) AS cos_sim
+          FROM sigb a JOIN sigb b
+            ON a.vec_id < b.vec_id AND ({or_clause})) t
+        WHERE cos_sim >= 0.4
+    """
+
+
+ORACLES["embedding_near_dups"] = _emb_near_dup_sql()
+
+# IVF: sampled centroids (vec_id % 25 == 0), assignment + probe by
+# quantized-integer inner product (exact in both engines; ties -> smallest
+# centroid id), exact cosine re-rank of the probed inverted lists.
+_IVF_COS = ("list_inner_product(c.embedding::DOUBLE[], q.q_emb::DOUBLE[]) / "
+            "(SQRT(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))"
+            " * SQRT(list_inner_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])))")
+ORACLES["ann_ivf_topk"] = f"""
+    WITH qv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000 + 0.5)) AS vq
+      FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, vq AS c_q FROM qv
+             WHERE vec_id % 25 = 0),
+    asg AS (
+      SELECT vec_id, embedding, c_id FROM (
+        SELECT v.vec_id, v.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.vq, c.c_q) DESC, c.c_id ASC) rn
+        FROM qv v CROSS JOIN cent c) t WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, vq AS qq
+          FROM qv WHERE vec_id < 5),
+    probe AS (
+      SELECT q_id, q_emb, c_id FROM (
+        SELECT q.q_id, q.q_emb, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY list_dot_product(q.qq, c.c_q) DESC, c.c_id ASC) rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id, ROUND({_IVF_COS}, 4) AS cos_sim
+      FROM probe q JOIN asg c ON c.c_id = q.c_id)
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+"""
+
 ORACLES["near_dup_pipeline"] = rf"""
     WITH {_minhash_cte()}, {_minhash_pairs_cte()},
     sets AS (SELECT doc_id,
@@ -962,6 +1055,8 @@ SPARK_QUERIES = {
     "simhash_docs": q_simhash_docs,
     "shared_passages": q_shared_passages,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "near_dup_pipeline": q_near_dup_pipeline,
     "bm25_rank": q_bm25_rank,
     "problematic_terms": q_problematic_terms,

@@ -47,6 +47,8 @@ HEADLINE = [
     "simhash_docs",
     "shared_passages",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dups",
     "connected_components",
     "lang_id_pred",
 ]

@@ -115,6 +115,9 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000
     page_scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     shuffle = 32
+    import os
+    storage = os.environ.get("TMPDIR", "/tmp")
+    spill = os.environ.get("SPARK_LOCAL_DIRS", "/tmp (default)")
 
     res14, eff14 = _protocol(1, 4, n_pages, shuffle, page_scale)
     res28, eff28 = _protocol(2, 8, n_pages, shuffle, page_scale)
@@ -133,6 +136,12 @@ with Python workers, so neither level saturates the 32-core box).
 
 Input: {n_pages} synthetic Common-Crawl-style pages (seeded generator,
 written to parquet first; generation excluded from timing).
+Stage-table storage: `{storage}`; shuffle spill: `{spill}`.  Run with
+`TMPDIR=/dev/shm SPARK_LOCAL_DIRS=/dev/shm` to isolate CPU scaling from
+the sandbox's single shared virtual disk (which no thread count can
+speed up and whose background noise swings single runs ±30% — a real
+cluster adds disks with executors, so the shared-disk protocol
+UNDERSTATES cluster scaling).
 
 | protocol | parallelism | wall (s) | triples | triples/sec |
 |---|---|---|---|---|

@@ -174,6 +174,39 @@ def main() -> None:
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
+    # 14. evidence pairing self-join: FORCED shuffle join — an AQE runtime
+    # broadcast of the data-sized b side is a serial driver-side build
+    # (observed bimodal 109s/234s at 256k pages before the hint)
+    from apt_bron_re_spark.operators.materialize import materialize_triples
+    ev = docs_df.selectExpr(
+        "url", "'group' as label", "substr(url, 1, 2) as canon_id",
+        "0.5 as score", "text as sentence")
+    p = plan_of(materialize_triples(ev))
+    checks.append((
+        "materialize pairing join (evidence self-join on url)", p,
+        ["SortMergeJoin", "HashAggregate"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ))
+
+    # 15. IVF ANN: centroid assignment is broadcast x algebraic argmax
+    # (BNLJ against the tiny centroid table is the intended shape);
+    # no cartesian product, no Python
+    p = plan_of(SPARK_QUERIES["ann_ivf_topk"](spark, SF_DIR))
+    checks.append((
+        "ann_ivf_topk (sampled-centroid IVF)", p,
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+    ))
+
+    # 16. embedding near-dup: Arrow signature UDF + bucket equi-join,
+    # never all-pairs
+    p = plan_of(SPARK_QUERIES["embedding_near_dups"](spark, SF_DIR))
+    checks.append((
+        "embedding_near_dups (sign-LSH + exact verify)", p,
+        ["ArrowEvalPython"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain(\"formatted\"))", "",
              "Generated by scripts/explain_audit.py; each section lists the "
              "properties the plan MUST have for the 100 TB design point, "

@@ -134,6 +134,65 @@ def test_lsh_topk_recall_gate(spark):
     assert recall >= 0.9, f"recall@10 = {recall}"
 
 
+def test_ivf_topk_recall_gate_clustered(spark):
+    """IVF with sampled centroids must reach recall@10 >= 0.9 vs brute
+    force on a planted CLUSTERED corpus (IVF's intended regime: sampled
+    centroids land inside clusters).  1000 vectors in 20 well-separated
+    clusters; centroid_stride=51 (coprime with the cluster cycle, so the
+    ~20 sampled centroids cover all clusters — 50 would alias onto 2)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 32)) * 10.0
+    vecs = []
+    for i in range(1000):
+        c = centers[i % 20]
+        vecs.append((i, [float(x) for x in c + rng.normal(size=32)]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = (emb.filter("vec_id < 5")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb")))
+    truth = {(r.q_id, r.vec_id)
+             for r in similarity.brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r.q_id, r.vec_id)
+              for r in similarity.ivf_topk(
+                  emb, queries, k=10, centroid_stride=51, nprobe=3).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_embedding_near_pairs_finds_planted_dup(spark):
+    """A planted near-duplicate (cosine ~0.99) must survive LSH candidate
+    generation and exact verification; orthogonal fillers must not."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=48)
+    near = base + rng.normal(size=48) * 0.05
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])]
+    rows += [(i, [float(x) for x in rng.normal(size=48)])
+             for i in range(2, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.a_id, r.b_id): r.cos_sim
+           for r in similarity.embedding_near_pairs(
+               emb, dim=48, threshold=0.9).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.9
+    assert all(p == (0, 1) for p in got), got
+
+
+def test_ivf_assign_deterministic_tie_break(spark):
+    """Equal inner products assign to the SMALLEST centroid id (the
+    engine-exact tie rule the DuckDB oracle mirrors)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (25, [1.0, 0.0]),   # two identical centroids
+         (7, [1.0, 0.0])],                    # ties with both
+        "vec_id long, embedding array<float>")
+    cent = (emb.filter("vec_id % 25 = 0")
+            .select(F.col("vec_id").alias("c_id"),
+                    similarity._quant(F.col("embedding")).alias("c_q")))
+    got = {r.vec_id: r.c_id
+           for r in similarity.ivf_assign(emb, cent).collect()}
+    assert got[7] == 0 and got[0] == 0 and got[25] == 0
+
+
 def test_textstats(docs):
     tc = {r.doc_id: r for r in textstats.token_count(docs).collect()}
     assert tc[0].n_ws_tokens == 19
