@@ -178,8 +178,13 @@ def main() -> None:
     # broadcast of the data-sized b side is a serial driver-side build
     # (observed bimodal 109s/234s at 256k pages before the hint)
     from apt_bron_re_spark.operators.materialize import materialize_triples
+    # label must VARY: a constant label constant-folds the preds equi-join
+    # into a degenerate BNLJ and the check would flag an artifact
     ev = docs_df.selectExpr(
-        "url", "'group' as label", "substr(url, 1, 2) as canon_id",
+        "url",
+        "CASE WHEN length(url) % 2 = 0 THEN 'group' ELSE 'technique' END"
+        " as label",
+        "substr(url, 1, 2) as canon_id",
         "0.5 as score", "text as sentence")
     p = plan_of(materialize_triples(ev))
     checks.append((
@@ -194,7 +199,8 @@ def main() -> None:
     p = plan_of(SPARK_QUERIES["ann_ivf_topk"](spark, SF_DIR))
     checks.append((
         "ann_ivf_topk (sampled-centroid IVF)", p,
-        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        # the argmax is max(struct) -> SortAggregate, so match "Aggregate"
+        ["BroadcastNestedLoopJoin", "Aggregate"],
         ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     ))
 
