@@ -101,9 +101,9 @@ def lsh_signatures(df: DataFrame, dim: int,
 
 
 def embedding_near_pairs(vectors: DataFrame, dim: int,
-                         threshold: float = 0.4,
-                         n_tables: int = N_TABLES,
-                         n_planes: int = N_PLANES,
+                         threshold: float = 0.9,
+                         n_tables: int = 16,
+                         n_planes: int = 10,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: OR-amplified sign-LSH bucket
@@ -114,7 +114,16 @@ def embedding_near_pairs(vectors: DataFrame, dim: int,
     never O(n^2).  Band rows carry IDS ONLY (the vectors re-join once
     after pair dedup, the same shuffle-narrowing as the MinHash band
     join).  Bucket bits are engine-exact (integer-quantized dot products),
-    so the DuckDB oracle reproduces the candidate set bit-for-bit."""
+    so the DuckDB oracle reproduces the candidate set bit-for-bit.
+
+    Parameter regime matters at scale: sign-LSH collision probability per
+    table is (1 - theta/pi)^n_planes, and UNRELATED vectors collide at
+    ~2^-n_planes.  The defaults (16 tables x 10 planes) target the
+    near-dup regime: recall ~0.98 for cos >= 0.9 pairs while random
+    collisions stay at n^2/1024 per table — near-linear candidates.
+    WIDE buckets (e.g. the ANN default 20x4) make the candidate set
+    approach all-pairs on large corpora: only use them with LOW
+    thresholds on small/filtered inputs."""
     bands = (lsh_signatures(vectors, dim, n_tables, n_planes, vec_col)
              .select(id_col, F.posexplode("buckets").alias("tbl", "bucket")))
     a = bands.select(F.col(id_col).alias("a_id"), "tbl", "bucket")

@@ -462,10 +462,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs: OR-amplified sign-LSH candidates,
-    exact cosine >= 0.4 verify (similarity.embedding_near_pairs)."""
+    exact cosine >= 0.4 verify (similarity.embedding_near_pairs).
+
+    Explicit WIDE buckets (20x4) + low threshold because the synthetic
+    embeddings are near-uniform (no true near-dups exist): the operator's
+    defaults (16x10, cos>=0.9) are the scale regime."""
     from .operators.similarity import embedding_near_pairs
     return embedding_near_pairs(load(spark, sf_dir, "embeddings"),
-                                dim=64, threshold=0.4)
+                                dim=64, threshold=0.4,
+                                n_tables=20, n_planes=4)
 
 
 def q_near_dup_pipeline(spark, sf_dir):
