@@ -255,13 +255,18 @@ def kg_batch_step(pages_batch: DataFrame, batch_id: int,
                 if lang is not None else pages_batch)
     stage2 = mention.detect_mentions(
         filtered.select("url", "html"), layer_map, from_html=True).persist()
+    batch_mentions = mention.mentions_view(stage2)
     scored = bm25.add_bm25_frozen(
-        mention.mentions_view(stage2),
+        batch_mentions,
         mention.doc_lengths_view(stage2), stats, df_table)
     links = linking.build_links(
         mention.residue_view(stage2), layer_map,
         semantic=semantic, threshold=threshold)
-    merged, residual = linking.merge_links(scored, links)
+    keys = (batch_mentions.select(
+        "url", "category",
+        F.lower(F.coalesce("original_id", F.lit(""))).alias("oid_l"))
+        .distinct())
+    merged, residual = linking.merge_links(scored, links, mention_keys=keys)
     ev = materialize.evidence(merged, residual, canon)
     part = (materialize.partial_triples(ev)
             .withColumn("batch_id", F.lit(int(batch_id))))
