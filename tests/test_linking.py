@@ -79,3 +79,31 @@ def test_merge_links_max_score_and_residual(spark, residues, layer_map):
     assert ("u3", "group", "G0106") in res
     # G0101 on u1 was merged, not residual
     assert ("u1", "group", "G0101") not in res
+
+
+def test_merge_links_mention_keys_equivalent(spark, residues, layer_map):
+    """The narrow mention_keys fast path (pipeline shape) must produce
+    outputs identical to the default key derivation."""
+    from pyspark.sql import functions as F
+
+    links = build_links(residues, layer_map, semantic=True)
+    mentions = spark.createDataFrame(
+        [("u1", "group", "Crimson Mantis", "G0101", None, 5, None, None,
+          None, None, None, 0.0, "s", 1.0),
+         ("u2", "technique", "Phantom Loader", "T1204", None, 9, None,
+          None, None, None, None, 0.7, "t", 0.5)],
+        "url string, category string, name string, original_id string, "
+        "value string, index long, alias string, software_type string, "
+        "product string, vendor string, version string, ner_score double, "
+        "sentence string, bm25_score double")
+    keys = (mentions.select(
+        "url", "category",
+        F.lower(F.coalesce("original_id", F.lit(""))).alias("oid_l"))
+        .distinct())
+
+    m_def, r_def = merge_links(mentions, links)
+    m_key, r_key = merge_links(mentions, links, mention_keys=keys)
+    assert sorted(map(tuple, m_def.collect())) == \
+        sorted(map(tuple, m_key.collect()))
+    assert sorted(map(tuple, r_def.collect())) == \
+        sorted(map(tuple, r_key.collect()))

@@ -253,3 +253,28 @@ def test_frame_features(spark):
     again = {(r.asset_id, r.frame_ts_ms): r.frame_sha
              for r in multimodal.frame_features(assets, every_ms=5000).collect()}
     assert again == shas
+
+
+def test_ivf_assign_matches_numpy_argmax(spark):
+    """Property pin: ivf_assign == numpy integer-IP argmax with the
+    smallest-centroid-id tie rule, on random vectors."""
+    import numpy as np
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(60, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    cent = (emb.filter("vec_id % 10 = 0")
+            .select(F.col("vec_id").alias("c_id"),
+                    similarity._quant(F.col("embedding")).alias("c_q")))
+    got = {r.vec_id: r.c_id
+           for r in similarity.ivf_assign(emb, cent).collect()}
+
+    q = np.floor(vecs.astype(np.float32).astype(np.float64) * 1000 + 0.5)
+    c_ids = [i for i in range(60) if i % 10 == 0]
+    cq = q[c_ids]
+    ips = q @ cq.T                              # exact integer grid
+    for i in range(60):
+        best = max(range(len(c_ids)),
+                   key=lambda j: (ips[i, j], -c_ids[j]))
+        assert got[i] == c_ids[best], (i, got[i], c_ids[best])
