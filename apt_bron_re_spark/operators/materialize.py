@@ -28,9 +28,18 @@ from ..config import PREDICATE_MAP
 
 def evidence(mentions_linked: DataFrame,
              residual_links: DataFrame | None,
-             canon: DataFrame | None) -> DataFrame:
+             canon: DataFrame | None,
+             partitions: int | None = None) -> DataFrame:
     """(url, label, canon_id, score, sentence): best evidence per entity
-    per document.  CVE mentions (value, no original_id) use the CVE id."""
+    per document.  CVE mentions (value, no original_id) use the CVE id.
+
+    ``partitions``: hash-partition by url (pinned count) BEFORE the
+    groupBy.  HashPartitioning(url) satisfies the (url, label, canon_id)
+    clustering, so the groupBy runs exchange-free, the downstream pairing
+    self-join on url reuses the same partitioning on both sides, and the
+    two identical join branches share ONE physical exchange
+    (ReuseExchange) — collapsing what is otherwise up to four data-sized
+    shuffles of sentence-bearing rows into one."""
     m = mentions_linked.select(
         "url",
         F.col("category").alias("label"),
@@ -59,6 +68,8 @@ def evidence(mentions_linked: DataFrame,
     else:
         m = m.withColumnRenamed("entity_id", "canon_id")
 
+    if partitions:
+        m = m.repartition(partitions, F.col("url"))
     return (
         m.groupBy("url", "label", "canon_id")
         .agg(F.max("score").alias("score"),

@@ -200,7 +200,8 @@ class Pipeline:
         triples = self._run_stage(
             "materialize", fp4,
             lambda: materialize.materialize_triples(
-                materialize.evidence(linked, residual, canon)),
+                materialize.evidence(linked, residual, canon,
+                                     partitions=self.n_buckets)),
             "triples", partition_by=["pred"], resume=resume)
         return triples
 
@@ -364,7 +365,7 @@ class Pipeline:
             ev = materialize.evidence(
                 linked.filter(F.col("pbucket").isin(chunk)),
                 residual.filter(F.col("pbucket").isin(chunk)),
-                canon)
+                canon, partitions=self.n_buckets)
             part = (materialize.partial_triples(ev)
                     .withColumn("chunk_key", F.lit(min(chunk))))
             self._write_buckets(part, "triples_partial",
