@@ -135,13 +135,24 @@ def bm25_global_stats(mentions: DataFrame, dls: DataFrame,
     return stats, df_
 
 
-def add_bm25_frozen(mentions: DataFrame, dls: DataFrame,
-                    stats: DataFrame, df_table: DataFrame,
-                    k1: float = BM25_K1, b: float = BM25_B,
-                    labels: list[str] | None = None) -> DataFrame:
-    """``add_bm25`` against FROZEN global stats — exact on any url-subset
-    of the corpus (tf and dl are url-local; df/m/avgdl come frozen), so an
-    interrupted link stage resumes per-bucket with identical scores."""
+def add_bm25_frozen_split(mentions: DataFrame, dls: DataFrame,
+                          stats: DataFrame, df_table: DataFrame,
+                          k1: float = BM25_K1, b: float = BM25_B,
+                          labels: list[str] | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
+    """``add_bm25`` against FROZEN global stats, returning the scored and
+    passthrough branches SEPARATELY (both with a ``bm25_score`` column;
+    null on passthrough).  Exact on any url-subset of the corpus (tf and
+    dl are url-local; df/m/avgdl come frozen), so an interrupted link
+    stage resumes per-bucket with identical scores.
+
+    Partitioning contract: when ``mentions`` is hash-partitioned by url,
+    EVERY operation here preserves it — tf's groupBy keys include url, the
+    df/stats joins are broadcast, and the score join keys include url on
+    both sides — so the whole scoring pass adds zero exchanges and the
+    caller can keep the two branches separate (a union would erase the
+    partitioning, which is why the batch link stage unions only at the
+    very end — plans/pipeline.py build_linked)."""
     labels = labels or BM25_LABELS
     scored = mentions.filter(F.col("category").isin(labels))
     passthrough = mentions.filter(~F.col("category").isin(labels))
@@ -172,8 +183,18 @@ def add_bm25_frozen(mentions: DataFrame, dls: DataFrame,
         .join(score_table, ["category", "url", "bm25_key"], "left")
         .drop("bm25_key")
     )
-    return out.unionByName(
-        passthrough.withColumn("bm25_score", F.lit(None).cast("double")))
+    return out, passthrough.withColumn("bm25_score", F.lit(None).cast("double"))
+
+
+def add_bm25_frozen(mentions: DataFrame, dls: DataFrame,
+                    stats: DataFrame, df_table: DataFrame,
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    labels: list[str] | None = None) -> DataFrame:
+    """``add_bm25_frozen_split`` with the branches unioned back — the
+    standalone / chunked-incremental surface."""
+    out, passthrough = add_bm25_frozen_split(
+        mentions, dls, stats, df_table, k1=k1, b=b, labels=labels)
+    return out.unionByName(passthrough)
 
 
 def bm25_rank(scored: DataFrame) -> DataFrame:

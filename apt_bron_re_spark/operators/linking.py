@@ -218,24 +218,13 @@ def build_links(residues: DataFrame,
 # L6: merge links into mentions
 # --------------------------------------------------------------------------
 
-def merge_links(mentions: DataFrame, links: DataFrame,
-                mention_keys: DataFrame | None = None
-                ) -> tuple[DataFrame, DataFrame]:
-    """Returns (mentions_linked, residual_links).
+def best_links(links: DataFrame) -> DataFrame:
+    """Best link per (url, category, oid_l) — L6's deterministic
+    last-writer rule (module docstring): semantic over variant, then
+    higher ner_score, then higher semantic_score, then max ner.
 
-    mentions_linked: every mention row, with ner/match_type/semantic_score
-    annotations and ner_score = max(mention, link) where a link matched
-    (ner.py:313-326).  residual_links: links whose (url, label, id) has no
-    mention — kept as standalone low-confidence evidence (ner.py:328-337).
-
-    ``mention_keys`` (optional): a cheap (url, category, oid_l)-distinct
-    source for the residual anti-join.  The anti-join only needs mention
-    KEYS, which no upstream annotation (BM25 etc.) can change — passing a
-    narrow pre-annotation view here lets the caller leave the wide
-    ``mentions`` plan entirely un-persisted and single-consumer (measured:
-    persisting the wide scored table cost more in memory churn than the
-    recompute it saved).
-    """
+    Partitioning: the groupBy keys include url, so a url-hash-partitioned
+    ``links`` input aggregates exchange-free."""
     best = (
         links
         .withColumn("oid_l", F.lower(F.coalesce("original_id", F.lit(""))))
@@ -262,16 +251,18 @@ def merge_links(mentions: DataFrame, links: DataFrame,
             F.col("bestl.original_id").alias("link_original_id"),
         )
     )
+    return best
 
-    m = mentions.withColumn(
-        "oid_l", F.lower(F.coalesce("original_id", F.lit(""))))
 
+def _annotate(mentions: DataFrame, best: DataFrame) -> DataFrame:
+    """Left-join the best-link table onto mention rows (which must carry
+    ``oid_l``) and fold in the link annotations + ner_score max."""
     # `best` scales with the data (one row per linked doc-entity), so it is
     # NOT broadcast: collecting a data-sized side to the driver serializes
     # the stage.  AQE may still pick a broadcast at runtime when it is
     # genuinely small.
-    merged = (
-        m.join(best, ["url", "category", "oid_l"], "left")
+    return (
+        mentions.join(best, ["url", "category", "oid_l"], "left")
         .withColumn(
             "ner_score",
             F.when(F.col("link_ner_score").isNotNull(),
@@ -285,9 +276,9 @@ def merge_links(mentions: DataFrame, links: DataFrame,
               "link_semantic_score", "link_name", "link_original_id")
     )
 
-    if mention_keys is None:
-        mention_keys = m.select("url", "category", "oid_l").distinct()
-    residual = (
+
+def _residuals(best: DataFrame, mention_keys: DataFrame) -> DataFrame:
+    return (
         best.join(mention_keys,
                   ["url", "category", "oid_l"], "left_anti")
         .select(
@@ -300,4 +291,64 @@ def merge_links(mentions: DataFrame, links: DataFrame,
             F.col("link_semantic_score").alias("semantic_score"),
         )
     )
-    return merged, residual
+
+
+def merge_links(mentions: DataFrame, links: DataFrame,
+                mention_keys: DataFrame | None = None
+                ) -> tuple[DataFrame, DataFrame]:
+    """Returns (mentions_linked, residual_links).
+
+    mentions_linked: every mention row, with ner/match_type/semantic_score
+    annotations and ner_score = max(mention, link) where a link matched
+    (ner.py:313-326).  residual_links: links whose (url, label, id) has no
+    mention — kept as standalone low-confidence evidence (ner.py:328-337).
+
+    ``mention_keys`` (optional): a cheap (url, category, oid_l)-distinct
+    source for the residual anti-join.  The anti-join only needs mention
+    KEYS, which no upstream annotation (BM25 etc.) can change — passing a
+    narrow pre-annotation view here lets the caller leave the wide
+    ``mentions`` plan entirely un-persisted and single-consumer (measured:
+    persisting the wide scored table cost more in memory churn than the
+    recompute it saved).
+    """
+    best = best_links(links)
+    m = mentions.withColumn(
+        "oid_l", F.lower(F.coalesce("original_id", F.lit(""))))
+    merged = _annotate(m, best)
+    if mention_keys is None:
+        mention_keys = m.select("url", "category", "oid_l").distinct()
+    return merged, _residuals(best, mention_keys)
+
+
+def merge_links_split(scored: DataFrame, passthrough: DataFrame,
+                      links: DataFrame, mention_keys: DataFrame,
+                      passthrough_may_link: bool = False
+                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``merge_links`` over a (scored, passthrough) mention split, keeping
+    the branches separate so a url-hash partitioning established upstream
+    survives every join here (a union erases partitioning info — the batch
+    link stage unions only at the very end; plans/pipeline.py).
+
+    ``passthrough_may_link=False`` asserts the caller-checked invariant
+    that every linkable label (layer_map keys minus the cpe family) is a
+    BM25-scored label, so links can never target a passthrough-category
+    mention (e.g. cve — regex-matched, not in the link catalog) and the
+    passthrough branch skips the merge join entirely, taking null link
+    annotations.  Pass True for a catalog with non-BM25 linkable labels.
+    Returns (merged_scored, merged_passthrough, residual_links)."""
+    best = best_links(links)
+    s = scored.withColumn(
+        "oid_l", F.lower(F.coalesce("original_id", F.lit(""))))
+    merged_s = _annotate(s, best)
+    if passthrough_may_link:
+        p = passthrough.withColumn(
+            "oid_l", F.lower(F.coalesce("original_id", F.lit(""))))
+        merged_p = _annotate(p, best)
+    else:
+        merged_p = (
+            passthrough
+            .withColumn("ner", F.lit(None).cast("string"))
+            .withColumn("match_type", F.lit(None).cast("string"))
+            .withColumn("semantic_score", F.lit(None).cast("double"))
+        )
+    return merged_s, merged_p, _residuals(best, mention_keys)

@@ -9,13 +9,31 @@ Pipeline:
      the best score + sentence (mentions + residual links, canonicalized);
   2. doc-level co-occurrence pairing restricted to the typed label pairs
      (no quadratic all-pairs blowup);
-  3. groupBy (subj, pred, obj) with collect_set(url) as sources — the
+  3. groupBy (subj, pred, obj) with the k-smallest source urls — the
      partial+final aggregation Catalyst already optimizes.
 
-Scale notes: the pairing self-join is keyed on url (bounded fan-out: a doc
-has few entities); the hub-entity skew shows up in the final groupBy,
-which is algebraic (set-union/max) and map-side combined; AQE handles the
-rest.  The output table should be partitioned by ``pred`` (S10).
+Scale notes: the pairing is a row-local double explode over per-url
+entity arrays (bounded fan-out: a doc has few entities) — no self-join,
+so the evidence table shuffles exactly once; the hub-entity skew shows up
+in the final groupBy, which is algebraic (set-union/max) and map-side
+combined; AQE handles the rest.  The output table should be partitioned
+by ``pred`` (S10).
+
+Argmax-first justification (round 3): justification SENTENCES never ride
+the pairing self-join.  The pairing/aggregation runs on a narrow evidence
+projection (url, label, canon_id, score, has_sentence) and each triple's
+best-evidence KEY — max(struct(pair_score, has_sentence, url,
+subj_label)) — is aggregated instead of the sentence string; the sentence
+is attached afterwards by ONE narrow equi-join against the per-(url,
+label, canon_id) best-sentence table.  This shrinks the dominant shuffle
+(the pairing join fans every evidence row out by its co-occurrence count)
+from sentence-bearing rows to ~40-byte keys.  Tie-break rule (pinned by
+scripts/ref_interpreter.py and the gold fixtures): among a triple's
+evidence rows, prefer higher pair_score, then rows that carry a sentence,
+then the lexicographically LARGEST source url, then the largest subject
+label; the justification is that row's (url, subj_label, subj) evidence
+sentence.  (Rounds 1-2 tie-broke equal-score rows by the sentence string
+itself, which forced sentences through every aggregation buffer.)
 """
 
 from __future__ import annotations
@@ -26,20 +44,13 @@ from pyspark.sql import functions as F
 from ..config import PREDICATE_MAP
 
 
-def evidence(mentions_linked: DataFrame,
-             residual_links: DataFrame | None,
-             canon: DataFrame | None,
-             partitions: int | None = None) -> DataFrame:
-    """(url, label, canon_id, score, sentence): best evidence per entity
-    per document.  CVE mentions (value, no original_id) use the CVE id.
-
-    ``partitions``: hash-partition by url (pinned count) BEFORE the
-    groupBy.  HashPartitioning(url) satisfies the (url, label, canon_id)
-    clustering, so the groupBy runs exchange-free, the downstream pairing
-    self-join on url reuses the same partitioning on both sides, and the
-    two identical join branches share ONE physical exchange
-    (ReuseExchange) — collapsing what is otherwise up to four data-sized
-    shuffles of sentence-bearing rows into one."""
+def evidence_rows(mentions_linked: DataFrame,
+                  residual_links: DataFrame | None,
+                  canon: DataFrame | None) -> DataFrame:
+    """Pre-aggregation evidence: one row per mention / residual link with
+    (url, label, canon_id, score, sentence).  CVE mentions (value, no
+    original_id) use the CVE id; the canonical map is broadcast
+    (catalog-sized)."""
     m = mentions_linked.select(
         "url",
         F.col("category").alias("label"),
@@ -67,7 +78,19 @@ def evidence(mentions_linked: DataFrame,
         )
     else:
         m = m.withColumnRenamed("entity_id", "canon_id")
+    return m
 
+
+def evidence(mentions_linked: DataFrame,
+             residual_links: DataFrame | None,
+             canon: DataFrame | None,
+             partitions: int | None = None) -> DataFrame:
+    """(url, label, canon_id, score, sentence): best evidence per entity
+    per document — the semantic unit of stage 5.  ``materialize_triples``
+    accepts either this (post-aggregation) table or the raw
+    ``evidence_rows`` output (the aggregation is idempotent); the pipeline
+    passes raw rows so the narrow/sentence branches prune independently."""
+    m = evidence_rows(mentions_linked, residual_links, canon)
     if partitions:
         m = m.repartition(partitions, F.col("url"))
     return (
@@ -78,12 +101,116 @@ def evidence(mentions_linked: DataFrame,
     )
 
 
+def _evidence_sentences(ev: DataFrame) -> DataFrame:
+    """(url, label, canon_id, sentence): the argmax-score sentence per
+    evidence key (ties: max sentence string; null sorts lowest).  A plain
+    partial+final aggregation — the shuffle carries at most one sentence
+    per (key, map task)."""
+    return (
+        ev.groupBy("url", "label", "canon_id")
+        .agg(F.max(F.struct(F.col("score").alias("s"), "sentence"))
+              .getField("sentence").alias("sentence"))
+    )
+
+
+def _narrow_evidence(ev: DataFrame, partitions: int | None) -> DataFrame:
+    """Sentence-free per-doc evidence: (url, label, canon_id, score,
+    has_sentence).  ``has_sentence`` is true iff the argmax-score sentence
+    for the key is non-null — computed from a boolean BEFORE the shuffle so
+    column pruning drops the sentence string from this branch's scan."""
+    m = ev.select("url", "label", "canon_id", "score",
+                  F.col("sentence").isNotNull().alias("has_s"))
+    if partitions:
+        # HashPartitioning(url) satisfies every downstream clustering whose
+        # keys include url: the groupBy and BOTH pairing-join branches run
+        # exchange-free on this single narrow shuffle (ReuseExchange
+        # collapses the two identical branches to one physical exchange).
+        m = m.repartition(partitions, F.col("url"))
+    return (
+        m.groupBy("url", "label", "canon_id")
+        .agg(F.max("score").alias("score"),
+             F.max(F.struct(F.col("score").alias("s"), "has_s"))
+              .getField("has_s").alias("has_sentence"))
+    )
+
+
+def _pairs(evn: DataFrame, predicate_map: dict) -> DataFrame:
+    """Doc-level co-occurrence pairing over NARROW evidence — as a
+    row-local explode, NOT a self-join.
+
+    A url's evidence entities are collected into one array (groupBy url —
+    exchange-free under the upstream url partitioning) and the pair
+    fan-out happens INSIDE the row via a double explode + broadcast join
+    against the typed predicate table.  Compared with the rounds-1/2
+    url-keyed self-join this removes a second data-sized shuffle+sort of
+    the evidence table and the AQE broadcast-vs-SMJ instability it had to
+    pin down (a self-join materializes both sides; rows 1-2 forced
+    shuffle_merge because AQE sporadically broadcast the data-sized b
+    side).  Memory per row is bounded by a DOCUMENT's distinct entity
+    count — the same bound the self-join's per-url sort buffer had."""
+    spark = evn.sparkSession
+    preds = spark.createDataFrame(
+        [(a, b, p) for (a, b), p in predicate_map.items()],
+        "subj_label string, obj_label string, pred string")
+    ents = (
+        evn.groupBy("url")
+        .agg(F.collect_list(
+            F.struct("label", "canon_id", "score", "has_sentence"))
+            .alias("ents"))
+    )
+    return (
+        ents
+        .select("url", "ents", F.explode("ents").alias("s"))
+        .select("url", F.col("s"), F.explode("ents").alias("o"))
+        .join(F.broadcast(preds),
+              (F.col("s.label") == F.col("subj_label"))
+              & (F.col("o.label") == F.col("obj_label")))
+        .filter(F.col("s.canon_id") != F.col("o.canon_id"))
+        .select(
+            "url", "subj_label",
+            F.col("s.canon_id").alias("subj"),
+            F.col("o.canon_id").alias("obj"),
+            "pred",
+            F.col("s.has_sentence").alias("subj_has_s"),
+            F.least(F.greatest(F.col("s.score"), F.lit(0.0)),
+                    F.greatest(F.col("o.score"), F.lit(0.0)))
+             .alias("pair_score"))
+    )
+
+
+def _bj():
+    """Best-evidence KEY aggregate per triple: (score, has-sentence, url,
+    subj_label) — the justification attaches by key after aggregation,
+    never rides it."""
+    return F.max(F.struct(F.col("pair_score").alias("s"),
+                          F.col("subj_has_s").alias("has_s"),
+                          F.col("url"),
+                          F.col("subj_label")))
+
+
+def _attach_justification(agg: DataFrame, ev_sent: DataFrame,
+                          bj: str = "bj") -> DataFrame:
+    """One narrow equi-join: triple best-evidence key -> sentence."""
+    joined = agg.join(
+        ev_sent,
+        (F.col(f"{bj}.url") == ev_sent.url)
+        & (F.col(f"{bj}.subj_label") == ev_sent.label)
+        & (agg.subj == ev_sent.canon_id),
+        "left")
+    return joined.select(
+        *[agg[c] for c in agg.columns],
+        ev_sent.sentence.alias("justification"))
+
+
 def materialize_triples(ev: DataFrame,
                         predicate_map: dict | None = None,
                         max_sources: int = 64,
-                        n_salts: int = 16) -> DataFrame:
+                        n_salts: int = 16,
+                        partitions: int | None = None) -> DataFrame:
     """evidence -> triples(subj, pred, obj, sources, n_sources,
-    justification, score).
+    justification, score).  ``ev`` is ``evidence_rows`` output (preferred —
+    lets the narrow branch prune sentences from its scan) or the
+    aggregated ``evidence`` table (the per-key aggregation is idempotent).
 
     Hub-entity skew handling (north_rule "salted skew handling"): at
     10^12-doc scale a hub edge's source set has millions of urls, so a
@@ -98,37 +225,12 @@ def materialize_triples(ev: DataFrame,
     Because the global k smallest urls are each among their own salt's k
     smallest, the result is EXACTLY the k smallest source urls —
     deterministic and bounded.  ``n_sources`` carries the exact distinct
-    source count (algebraic, skew-safe).
+    source count (algebraic, skew-safe).  The best-justification argmax is
+    equally salted (max of a max is the max) and carries only the
+    evidence KEY; the sentence attaches at the end (module docstring).
     """
     predicate_map = predicate_map or PREDICATE_MAP
-    spark = ev.sparkSession
-    preds = spark.createDataFrame(
-        [(a, b, p) for (a, b), p in predicate_map.items()],
-        "subj_label string, obj_label string, pred string")
-
-    a = ev.select(F.col("url"), F.col("label").alias("subj_label"),
-                  F.col("canon_id").alias("subj"),
-                  F.col("score").alias("subj_score"),
-                  F.col("sentence").alias("justification"))
-    b = ev.select(F.col("url"), F.col("label").alias("obj_label"),
-                  F.col("canon_id").alias("obj"),
-                  F.col("score").alias("obj_score"))
-
-    # the pairing self-join is forced to a shuffle join: both sides scale
-    # with the data, and an AQE runtime broadcast of the b side (observed
-    # at bench scale when stats sit near the threshold) serializes the
-    # stage on a driver-side hash build — the bench-scale twin of the
-    # "never broadcast data-sized sides" rule.
-    pairs = (
-        a.join(b.hint("shuffle_merge"), "url")
-        .join(F.broadcast(preds), ["subj_label", "obj_label"])
-        .filter(F.col("subj") != F.col("obj"))
-        .withColumn("pair_score",
-                    F.least(F.greatest("subj_score", F.lit(0.0)),
-                            F.greatest("obj_score", F.lit(0.0))))
-    )
-
-    best_j = F.max(F.struct(F.col("pair_score").alias("s"), "justification"))
+    pairs = _pairs(_narrow_evidence(ev, partitions), predicate_map)
 
     per_salt = (
         pairs
@@ -138,12 +240,12 @@ def materialize_triples(ev: DataFrame,
             F.slice(F.sort_array(F.collect_set("url")), 1, max_sources)
              .alias("salt_sources"),
             F.countDistinct("url").alias("salt_n"),
-            best_j.alias("bj"),
+            _bj().alias("bj"),
             F.max("pair_score").alias("salt_score"),
         )
     )
 
-    return (
+    agg = (
         per_salt.groupBy("subj", "pred", "obj")
         .agg(
             F.slice(
@@ -151,18 +253,20 @@ def materialize_triples(ev: DataFrame,
                     F.flatten(F.collect_list("salt_sources")))),
                 1, max_sources).alias("sources"),
             F.sum("salt_n").alias("n_sources"),
-            F.max(F.struct(F.col("bj.s").alias("s"),
-                           F.col("bj.justification")))
-             .getField("justification").alias("justification"),
+            F.max("bj").alias("bj"),
             F.round(F.max("salt_score"), 4).alias("score"),
         )
     )
+    out = _attach_justification(agg, _evidence_sentences(ev))
+    return out.select("subj", "pred", "obj", "sources", "n_sources",
+                      "justification", "score")
 
 
 def partial_triples(ev: DataFrame,
                     predicate_map: dict | None = None,
                     max_sources: int = 64,
-                    n_salts: int = 16) -> DataFrame:
+                    n_salts: int = 16,
+                    partitions: int | None = None) -> DataFrame:
     """Chunk-local partial triple aggregate for merge-on-append incremental
     materialization.  Because chunks partition the corpus BY URL, every
     per-triple statistic here is mergeable exactly:
@@ -170,35 +274,15 @@ def partial_triples(ev: DataFrame,
       part_sources  k-smallest urls within the chunk (the global k smallest
                     are each within their own chunk's k smallest)
       part_n        exact distinct url count (urls disjoint across chunks)
-      part_bj       max (pair_score, justification) struct
+      part_bj       max (s, has_s, url, subj_label) evidence key, with the
+                    chunk-local justification attached as a PAYLOAD field —
+                    urls are chunk-disjoint, so the cross-chunk max can
+                    never tie on (s, has_s, url) across chunks and the
+                    payload never decides a comparison
       part_score    max pair_score (rounded only at merge time)
     """
     predicate_map = predicate_map or PREDICATE_MAP
-    spark = ev.sparkSession
-    preds = spark.createDataFrame(
-        [(a, b, p) for (a, b), p in predicate_map.items()],
-        "subj_label string, obj_label string, pred string")
-
-    a = ev.select(F.col("url"), F.col("label").alias("subj_label"),
-                  F.col("canon_id").alias("subj"),
-                  F.col("score").alias("subj_score"),
-                  F.col("sentence").alias("justification"))
-    b = ev.select(F.col("url"), F.col("label").alias("obj_label"),
-                  F.col("canon_id").alias("obj"),
-                  F.col("score").alias("obj_score"))
-    # the pairing self-join is forced to a shuffle join: both sides scale
-    # with the data, and an AQE runtime broadcast of the b side (observed
-    # at bench scale when stats sit near the threshold) serializes the
-    # stage on a driver-side hash build — the bench-scale twin of the
-    # "never broadcast data-sized sides" rule.
-    pairs = (
-        a.join(b.hint("shuffle_merge"), "url")
-        .join(F.broadcast(preds), ["subj_label", "obj_label"])
-        .filter(F.col("subj") != F.col("obj"))
-        .withColumn("pair_score",
-                    F.least(F.greatest("subj_score", F.lit(0.0)),
-                            F.greatest("obj_score", F.lit(0.0))))
-    )
+    pairs = _pairs(_narrow_evidence(ev, partitions), predicate_map)
     per_salt = (
         pairs
         .withColumn("salt", F.pmod(F.crc32("url"), F.lit(n_salts)))
@@ -207,12 +291,11 @@ def partial_triples(ev: DataFrame,
             F.slice(F.sort_array(F.collect_set("url")), 1, max_sources)
              .alias("salt_sources"),
             F.countDistinct("url").alias("salt_n"),
-            F.max(F.struct(F.col("pair_score").alias("s"), "justification"))
-             .alias("bj"),
+            _bj().alias("bj"),
             F.max("pair_score").alias("salt_score"),
         )
     )
-    return (
+    agg = (
         per_salt.groupBy("subj", "pred", "obj")
         .agg(
             F.slice(
@@ -220,12 +303,19 @@ def partial_triples(ev: DataFrame,
                     F.flatten(F.collect_list("salt_sources")))),
                 1, max_sources).alias("part_sources"),
             F.sum("salt_n").alias("part_n"),
-            F.max(F.struct(F.col("bj.s").alias("s"),
-                           F.col("bj.justification").alias("justification")))
-             .alias("part_bj"),
+            F.max("bj").alias("bj"),
             F.max("salt_score").alias("part_score"),
         )
     )
+    with_j = _attach_justification(agg, _evidence_sentences(ev))
+    return with_j.select(
+        "subj", "pred", "obj", "part_sources", "part_n",
+        F.struct(F.col("bj.s").alias("s"),
+                 F.col("bj.has_s").alias("has_s"),
+                 F.col("bj.url").alias("url"),
+                 F.col("bj.subj_label").alias("subj_label"),
+                 F.col("justification").alias("justification")).alias("part_bj"),
+        "part_score")
 
 
 def merge_partial_triples(partials: DataFrame,
@@ -240,9 +330,9 @@ def merge_partial_triples(partials: DataFrame,
                     F.flatten(F.collect_list("part_sources")))),
                 1, max_sources).alias("sources"),
             F.sum("part_n").alias("n_sources"),
-            F.max(F.struct(F.col("part_bj.s").alias("s"),
-                           F.col("part_bj.justification")))
-             .getField("justification").alias("justification"),
+            F.max("part_bj").getField("justification").alias("justification"),
             F.round(F.max("part_score"), 4).alias("score"),
         )
+        .select("subj", "pred", "obj", "sources", "n_sources",
+                "justification", "score")
     )

@@ -3,10 +3,12 @@
     pages -> extract -> mention -> link -> canonicalize -> materialize
 
 Each stage writes an idempotent parquet table under ``base_dir`` (bucketed
-by ``bucket = crc32(url) % n_buckets`` — the parquet stand-in for Iceberg's
-``bucket(url)`` partition transform; a production deployment swaps the
-writer for ``df.writeTo(...).partitionedBy(bucket(N, "url"))`` with zero
-logic changes) and appends per-bucket lineage rows.  ``run(resume=True)``
+by ``pbucket = pmod(murmur3(url), n_buckets)`` — exactly Spark's
+HashPartitioning partition id, so url-partitioned plans write with no
+extra shuffle; the parquet stand-in for Iceberg's ``bucket(url)``
+partition transform — a production deployment swaps the writer for
+``df.writeTo(...).partitionedBy(bucket(N, "url"))`` with zero logic
+changes) and appends per-bucket lineage rows.  ``run(resume=True)``
 skips stages whose fingerprint already completed — kill the job at any
 stage boundary and re-running continues where it stopped.
 
@@ -43,11 +45,20 @@ class Pipeline:
                  semantic: bool = True,
                  sim_threshold: float = SIM_THRESHOLD,
                  lang: str | None = "en",
-                 fuse_extract: bool = False) -> None:
+                 fuse_extract: bool = False,
+                 canon_cache_dir: str | Path | None = None) -> None:
         """``fuse_extract=True`` runs E1 inside the mention UDF and skips
         materializing the docs table (half the stage-table IO; the same
         byte-identical extractor).  The unfused default keeps the extract
-        checkpoint for stage-level resume granularity."""
+        checkpoint for stage-level resume granularity.
+
+        ``canon_cache_dir``: reuse the canonical map ACROSS pipeline runs
+        keyed by the catalog fingerprint.  The canon table is a
+        catalog-derived dimension (stage 4 depends only on the alias
+        graph, never on the corpus) — the same precompute-once shape as
+        the reference's node-embedding cache (embeddings.py) — so
+        recomputing the connected-components job per corpus run is pure
+        fixed latency; with a cache it is a parquet read."""
         self.spark = spark
         self.layer_map = layer_map
         self.base = Path(base_dir)
@@ -56,8 +67,32 @@ class Pipeline:
         self.sim_threshold = sim_threshold
         self.lang = lang
         self.fuse_extract = fuse_extract
+        self.canon_cache_dir = canon_cache_dir
         self.log = LineageLog(spark, base_dir)
         self._catalog_fp = fingerprint(layer_map)
+
+    def _canon_stage(self, resume: bool = True) -> DataFrame:
+        """Stage 4 with the optional cross-run cache (constructor doc)."""
+        fp3 = fingerprint(self._catalog_fp, "canonicalize")
+        if self.canon_cache_dir is not None:
+            cache = Path(self.canon_cache_dir) / f"canon_{fp3[:16]}"
+            if (cache / "_SUCCESS").exists():
+                if not self.log.is_complete("canonicalize", fp3):
+                    t0 = time.time()
+                    self._write(self.spark.read.parquet(str(cache)), "canon")
+                    self.log.record("canonicalize", fp3,
+                                    self._read("canon"), time.time() - t0)
+                return self._read("canon")
+            out = self._run_stage(
+                "canonicalize", fp3,
+                lambda: canonicalize.canonical_map(self.spark, self.layer_map),
+                "canon", resume=resume)
+            out.write.mode("overwrite").parquet(str(cache))
+            return out
+        return self._run_stage(
+            "canonicalize", fp3,
+            lambda: canonicalize.canonical_map(self.spark, self.layer_map),
+            "canon", resume=resume)
 
     # -- helpers ----------------------------------------------------------
     def _path(self, name: str) -> str:
@@ -65,12 +100,25 @@ class Pipeline:
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         # "pbucket" (partition bucket) — distinct from the NER residue
-        # "bucket" column of the mention stage table.
+        # "bucket" column of the mention stage table.  Defined as
+        # pmod(murmur3(url), n) — EXACTLY Spark's HashPartitioning(url, n)
+        # partition-id expression (same hash, same seed 42) — so a plan
+        # that is repartition(n, url)-partitioned has pbucket-PURE
+        # partitions and can be written partitionBy("pbucket") with no
+        # further shuffle (one file per bucket dir per branch).
         return df.withColumn(
-            "pbucket", F.pmod(F.crc32(F.col("url")), F.lit(self.n_buckets)).cast("int"))
+            "pbucket", F.pmod(F.hash(F.col("url")), F.lit(self.n_buckets)).cast("int"))
 
-    def _write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
-        if partition_by == ["pbucket"]:
+    def _write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
+               pre_partitioned: bool = False) -> None:
+        if pre_partitioned:
+            # the builder guarantees the plan is already
+            # HashPartitioning(url, n_buckets)-clustered (or a union of
+            # such branches): every task holds exactly one pbucket value
+            # (see _bucketed), so partitionBy writes one file per dir per
+            # branch with NO write-side shuffle.
+            pass
+        elif partition_by == ["pbucket"]:
             # WIDE bucketed stage tables: pin the partition COUNT
             # (REPARTITION_BY_NUM).  A bare repartition(col) is
             # AQE-coalescible, and AQE's 64MB advisory size collapses the
@@ -98,12 +146,13 @@ class Pipeline:
 
     def _run_stage(self, stage: str, fp: str, build, name: str,
                    partition_by: list[str] | None = None,
-                   resume: bool = True) -> DataFrame:
+                   resume: bool = True,
+                   pre_partitioned: bool = False) -> DataFrame:
         if resume and self.log.is_complete(stage, fp):
             return self._read(name)
         t0 = time.time()
         df = build()
-        self._write(df, name, partition_by)
+        self._write(df, name, partition_by, pre_partitioned=pre_partitioned)
         out = self._read(name)
         self.log.record(stage, fp, out, time.time() - t0)
         return out
@@ -158,50 +207,79 @@ class Pipeline:
                     mention.detect_mentions(docs.drop("pbucket"), self.layer_map)),
                 "mentions", partition_by=["pbucket"], resume=resume)
 
-        mentions = mention.mentions_view(stage2)
-        residues = mention.residue_view(stage2)
-
         fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
 
         def build_linked() -> DataFrame:
-            # The wide scored plan is SINGLE-CONSUMER (the linked write):
-            # the residual anti-join gets its mention keys from a narrow
-            # pre-BM25 projection (column-pruned parquet scan), so nothing
-            # wide is persisted — persisting 3M+ wide rows cost more in
-            # memory churn/GC than the recompute it saved (and hurt
-            # thread-scaling).  dl comes free from the mention stage's
-            # 'doc' rows — no text re-scan.
-            scored = bm25.add_bm25(
-                mentions, dls=mention.doc_lengths_view(stage2))
+            # ONE url hash-partitioning for the whole stage: mentions and
+            # residues are each repartitioned by url once, and every
+            # downstream operation preserves it — BM25 tf (groupBy keys
+            # include url), the df/stats joins (broadcast against frozen
+            # catalog-bounded tables), the score join, the best-link
+            # aggregation + dedup (keys include url), the L6 merge join,
+            # and the residual anti-join all run EXCHANGE-FREE.  The
+            # scored/passthrough union happens at the very END (a union
+            # erases partitioning info, which round 2 measured as the
+            # partitioning-destroying step), and the stage write needs no
+            # repartition because pbucket == the partition id (_bucketed).
+            # The wide scored plan stays SINGLE-CONSUMER and un-persisted:
+            # the residual anti-join takes its keys from a narrow pre-BM25
+            # projection; dl comes free from the mention stage's 'doc'
+            # rows — no text re-scan.
+            m = (mention.mentions_view(stage2)
+                 .repartition(self.n_buckets, F.col("url")))
+            r = (mention.residue_view(stage2)
+                 .repartition(self.n_buckets, F.col("url")))
+            dls = mention.doc_lengths_view(stage2)
+
+            # BM25 globals frozen to tiny tables (same mechanism as the
+            # chunked-incremental path): df is catalog-bounded — its keys
+            # are catalog entity names — so broadcasting it keeps the tf
+            # stream's url partitioning intact.
+            stats, df_ = bm25.bm25_global_stats(
+                mention.mentions_view(stage2), dls)
+            self._write(stats, "link_aux_stats")
+            self._write(df_, "link_aux_df")
+            scored, passthrough = bm25.add_bm25_frozen_split(
+                m, dls, self._read("link_aux_stats"),
+                self._read("link_aux_df"))
+
             links = linking.build_links(
-                residues, self.layer_map,
+                r, self.layer_map,
                 semantic=self.semantic, threshold=self.sim_threshold).persist()
-            keys = (mentions.select(
+            keys = (m.select(
                 "url", "category",
                 F.lower(F.coalesce("original_id", F.lit(""))).alias("oid_l"))
                 .distinct())
-            merged, residual = linking.merge_links(scored, links,
-                                                   mention_keys=keys)
+            # invariant check for the passthrough shortcut: every linkable
+            # label must be BM25-scored (true for the BRON-shaped catalog:
+            # links exclude the cpe family and cve is regex-only).
+            from ..config import BM25_LABELS
+            from ..operators.linking import LINKED_LABELS_EXCLUDE
+            may_link = bool(
+                (set(self.layer_map) - LINKED_LABELS_EXCLUDE)
+                - set(BM25_LABELS))
+            merged_s, merged_p, residual = linking.merge_links_split(
+                scored, passthrough, links, mention_keys=keys,
+                passthrough_may_link=may_link)
             self._write(self._bucketed(residual), "links_residual",
-                        partition_by=["pbucket"])
-            return self._bucketed(merged.drop("pbucket"))
+                        partition_by=["pbucket"], pre_partitioned=True)
+            return self._bucketed(merged_s).unionByName(
+                self._bucketed(merged_p))
 
         linked = self._run_stage("link", fp2, build_linked,
-                                 "linked", partition_by=["pbucket"], resume=resume)
+                                 "linked", partition_by=["pbucket"],
+                                 resume=resume, pre_partitioned=True)
         residual = self._read("links_residual")
 
         fp3 = fingerprint(self._catalog_fp, "canonicalize")
-        canon = self._run_stage(
-            "canonicalize", fp3,
-            lambda: canonicalize.canonical_map(self.spark, self.layer_map),
-            "canon", resume=resume)
+        canon = self._canon_stage(resume)
 
         fp4 = fingerprint(fp2, fp3, "materialize")
         triples = self._run_stage(
             "materialize", fp4,
             lambda: materialize.materialize_triples(
-                materialize.evidence(linked, residual, canon,
-                                     partitions=self.n_buckets)),
+                materialize.evidence_rows(linked, residual, canon),
+                partitions=self.n_buckets),
             "triples", partition_by=["pred"], resume=resume)
         return triples
 
@@ -233,7 +311,7 @@ class Pipeline:
                     if self.lang is not None else pages)
         filtered = filtered.withColumn(
             "pbucket",
-            F.pmod(F.crc32(F.col("url")), F.lit(self.n_buckets)).cast("int"))
+            F.pmod(F.hash(F.col("url")), F.lit(self.n_buckets)).cast("int"))
 
         done = self.log.completed_buckets("mention", fp1)
         all_buckets = list(range(self.n_buckets))
@@ -352,21 +430,18 @@ class Pipeline:
             return True
         linked = self._read("linked")
         residual = self._read("links_residual")
-        canon = self._run_stage(
-            "canonicalize", fp3,
-            lambda: canonicalize.canonical_map(self.spark, self.layer_map),
-            "canon", resume=True)
+        canon = self._canon_stage(resume=True)
 
         processed = 0
         for chunk in self._pending_chunks("materialize", fp4, n_chunks):
             if max_chunks is not None and processed >= max_chunks:
                 return False
             t0 = time.time()
-            ev = materialize.evidence(
+            ev = materialize.evidence_rows(
                 linked.filter(F.col("pbucket").isin(chunk)),
                 residual.filter(F.col("pbucket").isin(chunk)),
-                canon, partitions=self.n_buckets)
-            part = (materialize.partial_triples(ev)
+                canon)
+            part = (materialize.partial_triples(ev, partitions=self.n_buckets)
                     .withColumn("chunk_key", F.lit(min(chunk))))
             self._write_buckets(part, "triples_partial",
                                 partition_col="chunk_key")

@@ -39,6 +39,15 @@ def get_spark(app_name: str = "apt_bron_re_spark",
         # the main non-scaling resource in single-box runs, and scan-bound
         # stages win at cluster scale too
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # allow joins to reuse SUBSET co-partitioning: the link stage
+        # establishes ONE HashPartitioning(url) and its score/merge joins
+        # key on (category, url, ...) supersets — with the default (true)
+        # Spark re-shuffles both sides onto the full key set, re-paying
+        # the wide shuffle this layout exists to avoid.  url is the
+        # high-cardinality component (page urls), so subset clustering
+        # loses no skew resistance here; aggregation already defaults to
+        # subset reuse (requireAllClusterKeysForDistribution=false).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # default 10MB broadcast threshold on purpose: broadcast builds are
         # single-threaded driver work — a data-sized build side serializes
         # the whole stage.  Only dimension tables should broadcast.

@@ -90,6 +90,8 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("sources", T.ArrayType(T.StringType())),
     T.StructField("score", T.DoubleType()),
     T.StructField("bj_s", T.DoubleType()),
+    T.StructField("bj_has", T.BooleanType()),
+    T.StructField("bj_url", T.StringType()),
     T.StructField("bj", T.StringType()),
 ])
 
@@ -104,22 +106,29 @@ def canon_as_dict(spark: SparkSession,
 
 def _sent_key(score: float, sentence: str | None) -> tuple:
     """Total order matching Spark's struct(score, sentence) max: null
-    sentence sorts below any string."""
+    sentence sorts below any string.  Used for the EVIDENCE-level argmax
+    (best sentence per (url, label, canon_id))."""
     return (score, sentence is not None, sentence or "")
 
 
 def _doc_pairs(results: dict, canon_map: dict,
                predicate_map: dict) -> dict:
     """Per-document evidence pairing — the row-local twin of
-    materialize.evidence + the pairing join in materialize_triples,
+    materialize.evidence_rows + the pairing join in materialize_triples,
     restricted to one url.  Returns {(subj, pred, obj): (pair_score,
-    justification)} with the per-url max already folded (associative with
-    the cross-url aggregation, so the global result is unchanged)."""
+    justification)} with the per-url max already folded by the batch
+    tie-break order (pair_score, has_sentence, url[=const here],
+    subj_label) — associative with the cross-url aggregation in
+    ``stream_triples_live``, so the global result is unchanged."""
     # evidence: best (score, sentence) per (label, canon_id)
     ev: dict[tuple[str, str], tuple[float, str | None]] = {}
     for label, entries in results.items():
         for ent in entries:
-            entity_id = ent.get("original_id") or ent.get("value")
+            # explicit None check == F.coalesce(original_id, value): an
+            # empty-string original_id must NOT fall through to value
+            entity_id = ent.get("original_id")
+            if entity_id is None:
+                entity_id = ent.get("value")
             score = float(ent.get("NER_score", 0.0) or 0.0)
             sentence = ent.get("sentence")
             canon_id = canon_map.get((label, entity_id), entity_id)
@@ -137,7 +146,10 @@ def _doc_pairs(results: dict, canon_map: dict,
     for (label, canon_id), (score, sentence) in ev.items():
         by_label.setdefault(label, []).append((canon_id, score, sentence))
 
+    # within one url the batch best-justification struct (s, has_s, url,
+    # subj_label) reduces to (s, has_s, subj_label)
     pairs: dict[tuple[str, str, str], tuple[float, str | None]] = {}
+    cand_keys: dict[tuple[str, str, str], tuple] = {}
     for (subj_label, obj_label), pred in predicate_map.items():
         for subj, s_score, s_sent in by_label.get(subj_label, ()):
             for obj, o_score, _o_sent in by_label.get(obj_label, ()):
@@ -145,10 +157,12 @@ def _doc_pairs(results: dict, canon_map: dict,
                     continue
                 pair_score = min(max(s_score, 0.0), max(o_score, 0.0))
                 key = (subj, pred, obj)
-                cur = pairs.get(key)
-                cand = (pair_score, s_sent)
-                if cur is None or (_sent_key(*cand) > _sent_key(*cur)):
-                    pairs[key] = cand
+                # first key component is pair_score, so the winner also
+                # carries the max pair_score for the (triple, url) fold
+                ck = (pair_score, s_sent is not None, subj_label)
+                if key not in pairs or ck > cand_keys[key]:
+                    pairs[key] = (pair_score, s_sent)
+                    cand_keys[key] = ck
     return pairs
 
 
@@ -201,10 +215,11 @@ def stream_triples_live(pairs: DataFrame,
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, sources, score, bj_s, bj = state.get
+            n, sources, score, bj_s, bj_has, bj_url, bj = state.get
             sources = list(sources)
         else:
-            n, sources, score, bj_s, bj = 0, [], 0.0, float("-inf"), None
+            n, sources, score = 0, [], 0.0
+            bj_s, bj_has, bj_url, bj = float("-inf"), False, "", None
 
         seen_urls: set[str] = set()
         for pdf in pdfs:
@@ -216,11 +231,14 @@ def stream_triples_live(pairs: DataFrame,
                     seen_urls.add(url)
                     n += 1
                 score = max(score, s)
-                if _sent_key(s, j) > _sent_key(bj_s, bj):
-                    bj_s, bj = s, j
+                # cross-url best-justification order — the streaming twin
+                # of the batch argmax key struct(s, has_sentence, url)
+                # (materialize._BJ; subj_label already folded per url)
+                if (s, j is not None, url) > (bj_s, bj_has, bj_url):
+                    bj_s, bj_has, bj_url, bj = s, j is not None, url, j
             sources = sorted(set(sources) | seen_urls)[:max_sources]
 
-        state.update((n, sources, score, bj_s, bj))
+        state.update((n, sources, score, bj_s, bj_has, bj_url, bj))
         subj, pred, obj = key
         yield pd.DataFrame([{
             "subj": subj, "pred": pred, "obj": obj,
@@ -267,11 +285,15 @@ def kg_batch_step(pages_batch: DataFrame, batch_id: int,
         F.lower(F.coalesce("original_id", F.lit(""))).alias("oid_l"))
         .distinct())
     merged, residual = linking.merge_links(scored, links, mention_keys=keys)
-    ev = materialize.evidence(merged, residual, canon)
+    ev = materialize.evidence_rows(merged, residual, canon)
     part = (materialize.partial_triples(ev)
             .withColumn("batch_id", F.lit(int(batch_id))))
-    (part.repartition(F.col("batch_id"))
-     .write.mode("overwrite")
+    # NOT repartition(batch_id): batch_id is constant per micro-batch, so
+    # hashing it funnels every row into ONE task — the serial-tail class
+    # pipeline._write pins against.  partitionBy alone yields the one dir
+    # per batch; the partial aggregate's existing distribution sets the
+    # task count.
+    (part.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id")
      .parquet(out_path))

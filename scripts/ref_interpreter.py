@@ -544,6 +544,10 @@ def materialize(evidence_rows, max_sources=64):
     for (url, label, cid), (score, _c, sentence) in ev.items():
         by_url.setdefault(url, []).append((label, cid, score, sentence))
 
+    # best-justification tie-break order — must mirror the rebuild's
+    # argmax-first key struct (pair_score, has_sentence, url, subj_label)
+    # (operators/materialize.py _BJ): the sentence string itself never
+    # decides; the winning evidence KEY determines the sentence.
     triples: dict[tuple, dict] = {}
     for url, ents in by_url.items():
         for (sl, sid, ss, ssent) in ents:
@@ -554,11 +558,13 @@ def materialize(evidence_rows, max_sources=64):
                 pair_score = min(max(ss, 0.0), max(os_, 0.0))
                 key = (sid, pred, oid)
                 t = triples.setdefault(
-                    key, {"sources": set(), "best": None, "max_score": 0.0})
+                    key, {"sources": set(), "best": None, "best_sent": None,
+                          "max_score": 0.0})
                 t["sources"].add(url)
-                cand = (pair_score, (ssent is not None, ssent or ""), ssent)
-                if t["best"] is None or cand[:2] > t["best"][:2]:
+                cand = (pair_score, ssent is not None, url, sl)
+                if t["best"] is None or cand > t["best"]:
                     t["best"] = cand
+                    t["best_sent"] = ssent
                 t["max_score"] = max(t["max_score"], pair_score)
 
     out = []
@@ -567,7 +573,7 @@ def materialize(evidence_rows, max_sources=64):
             "subj": subj, "pred": pred, "obj": obj,
             "sources": sorted(t["sources"])[:max_sources],
             "n_sources": len(t["sources"]),
-            "justification": t["best"][2],
+            "justification": t["best_sent"],
             "score": round(t["max_score"], 4),
         })
     return out
