@@ -11,7 +11,9 @@ embedding-cosine near-dup pairs and recursive-SQL connected components);
 the remaining two (``kg_triples``, ``multimodal_meta``) run
 on synthetic inputs the oracle views cannot see, so they get the driver's
 rows-only check — with array columns projected to strings so the result
-canonicalizer can sort and hash them.
+canonicalizer can sort and hash them.  ``kg_triples`` is additionally
+SELF-verifying: it compares its full result against the checked-in
+independent-interpreter gold and stamps every row with ``gold_match``.
 """
 
 from __future__ import annotations
@@ -41,9 +43,16 @@ def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
     def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The full 5-stage KG pipeline on the deterministic synthetic page
         # corpus (independent of sf_dir; scale pinned for the rows-check).
+        # SELF-VERIFYING: the result is compared row-for-row against the
+        # checked-in INDEPENDENT-interpreter gold (tests/fixtures/
+        # gold_triples.json, produced by scripts/ref_interpreter.py — a
+        # straight-line reimplementation sharing no code with the
+        # operators) and every returned row carries ``gold_match`` — so
+        # the driver's rows-only check records an oracle-grade signal.
         # Contract surface is array-free: ``sources`` (already a sorted
         # array) is projected to a csv string so the driver's row
         # canonicalizer can sort/hash it; the stage table keeps the array.
+        import json
         import tempfile
 
         from pyspark.sql import functions as F
@@ -54,8 +63,22 @@ def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
         base = tempfile.mkdtemp(prefix="kg_triples_")
         pipe = Pipeline(spark, build_layer_map(), base, n_buckets=8)
-        return pipe.run(pages_df(spark, 60)).withColumn(
-            "sources", F.concat_ws(",", F.col("sources")))
+        tri = pipe.run(pages_df(spark, 60))
+
+        gold = json.loads(
+            (Path(__file__).resolve().parent
+             / "tests" / "fixtures" / "gold_triples.json").read_text())
+        want = {(t["subj"], t["pred"], t["obj"],
+                 tuple(t["sources"]), t["n_sources"],
+                 t["justification"], round(t["score"], 4))
+                for t in gold["triples"]}
+        got = {(r["subj"], r["pred"], r["obj"],
+                tuple(r["sources"]), r["n_sources"],
+                r["justification"], round(r["score"], 4))
+               for r in tri.collect()}
+        return (tri
+                .withColumn("sources", F.concat_ws(",", F.col("sources")))
+                .withColumn("gold_match", F.lit(got == want)))
 
     def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feature array -> csv of 4-dp floats for the driver's row hash;

@@ -178,9 +178,17 @@ def add_bm25_frozen_split(mentions: DataFrame, dls: DataFrame,
                    F.round(F.col("idf") * (F.col("f") * (k1 + 1.0)) / F.col("denom"), 4))
             .otherwise(F.lit(0.0)).alias("bm25_score"))
     )
+    # shuffle_hash, not sort-merge: the LEFT stream is the wide mention
+    # rows (sentences) — an SMJ would SORT them, a per-partition O(n log n)
+    # pass over wide data that dominates link-stage CPU and thread-scales
+    # poorly (GC); the build side is the NARROW score table, whose
+    # per-partition hash build is bounded by rows/partitions at any scale.
+    # Under matching url partitioning the join stays exchange-free either
+    # way; the hint only removes the sorts.
     out = (
         scored.withColumn("bm25_key", key_expr)
-        .join(score_table, ["category", "url", "bm25_key"], "left")
+        .join(score_table.hint("shuffle_hash"),
+              ["category", "url", "bm25_key"], "left")
         .drop("bm25_key")
     )
     return out, passthrough.withColumn("bm25_score", F.lit(None).cast("double"))

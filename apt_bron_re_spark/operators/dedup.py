@@ -216,8 +216,19 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     collisions; width 7 -> ~1%).  The default 3 (4 chunks of 15 bits) is
     the classic web-dedup setting (Manku et al., WWW'07, 64-bit f=3) and
     keeps the 100 TB candidate volume near-linear; raise it only on small
-    corpora."""
-    sh = simhash(docs, text_col)
+    corpora.
+
+    CHANGED (round 2): the default was 8 (7-bit chunks, ~1% random chunk
+    collisions); callers relying on the old library default should pass
+    ``max_hamming=8`` explicitly — results for budgets they pass
+    themselves are unchanged."""
+    return near_pairs_from_sigs(simhash(docs, text_col), max_hamming)
+
+
+def near_pairs_from_sigs(sh: DataFrame, max_hamming: int) -> DataFrame:
+    """The chunk-blocking + exact-verify core of ``simhash_near_pairs``
+    over a precomputed (doc_id, simhash60) table — separated so the
+    pigeonhole guarantee is testable on PLANTED signatures at any budget."""
     layout = _chunk_layout(max_hamming + 1)
     chunks = sh.select(
         "doc_id", "simhash60",

@@ -259,10 +259,13 @@ def _annotate(mentions: DataFrame, best: DataFrame) -> DataFrame:
     ``oid_l``) and fold in the link annotations + ner_score max."""
     # `best` scales with the data (one row per linked doc-entity), so it is
     # NOT broadcast: collecting a data-sized side to the driver serializes
-    # the stage.  AQE may still pick a broadcast at runtime when it is
-    # genuinely small.
+    # the stage.  shuffle_hash, not sort-merge: the left stream is the
+    # wide mention rows — SMJ would sort them (the dominant non-scaling
+    # CPU in the link stage); the narrow best-link build side hashes
+    # per-partition instead.
     return (
-        mentions.join(best, ["url", "category", "oid_l"], "left")
+        mentions.join(best.hint("shuffle_hash"),
+                      ["url", "category", "oid_l"], "left")
         .withColumn(
             "ner_score",
             F.when(F.col("link_ner_score").isNotNull(),

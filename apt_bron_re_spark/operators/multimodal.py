@@ -1,19 +1,41 @@
-"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata + REAL
+dependency-free decoders.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction run as Arrow-batched pandas
-UDFs over ``mapInPandas``.  The decode step itself is STUBBED (no imaging
-libraries in this container): ``decode_stub`` computes deterministic fake
-features from the payload bytes and raises ``NotImplementedError`` when a
-real decode is requested — the Spark-side plumbing (schema, partitioning,
-UDF signature, batch shape) is real and tested.
+UDFs over ``mapInPandas``.  The decoders are pure python + stdlib
+(zlib/struct) so they run anywhere Spark's Python workers run:
+
+  * PNG   — full chunk walk (CRC-checked), IHDR parse, zlib IDAT inflate,
+            per-scanline unfilter (all five filter types 0-4);
+  * WAV   — RIFF/WAVE chunk walk, PCM fmt parse, int16 sample extraction;
+  * RAWV  — a minimal raw-frame video container (magic + n_frames/w/h/fps
+            header + concatenated RGB frames), the shape a training-data
+            pipeline uses for pre-decoded tensor shards.
+
+``synth_assets`` generates REAL payloads of all three formats
+(deterministic, seeded), so the decode path is exercised end-to-end: the
+features in ``asset_features``/``frame_features`` are computed from the
+decoded pixels/samples/frames, not from payload hashes.  A production
+build swaps the codec table for PIL/torchaudio/ffmpeg behind the same
+``decode_features`` signature; the Spark plumbing (schema, partitioning,
+UDF signature, Arrow batch shape) is identical.
+
+Scale notes: payloads never shuffle — features are extracted in the same
+mapInPandas pass that scans them, and only the (small) feature rows flow
+downstream; per-task memory is bounded by Arrow's maxRecordsPerBatch.
+Malformed payloads yield an ``err`` row instead of failing the task (the
+mention stage's catch-and-log pattern, reference basic.py:300-301).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,43 +59,277 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.IntegerType(), False),
     T.StructField("payload_sha", T.StringType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    T.StructField("err", T.StringType(), True),
 ])
 
+N_FEATURES = 8
 
-def decode_stub(payload: bytes, kind: str, real_decode: bool = False):
-    """Deterministic fake decode.  A production build replaces this with
-    PIL/torchaudio/ffmpeg behind the same signature."""
-    if real_decode:
-        raise NotImplementedError(
-            "real image/audio decode requires imaging libraries not "
-            "present in this container; plug a decoder in here")
-    digest = hashlib.blake2b(payload or b"", digest_size=32).digest()
-    return [b / 255.0 for b in digest[:8]]
+# --------------------------------------------------------------------------
+# PNG codec (pure python; RGB8, non-interlaced)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def png_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """RGB8 pixels (len == width*height*3) -> PNG bytes.  Scanline filters
+    alternate None/Sub so decoders must actually unfilter."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    stride = width * 3
+    raw = bytearray()
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        if y % 2 == 0:
+            raw.append(0)                      # filter None
+            raw.extend(row)
+        else:
+            raw.append(1)                      # filter Sub
+            prev = b"\x00\x00\x00"
+            for x in range(0, stride, 3):
+                px = row[x:x + 3]
+                raw.extend(((px[i] - prev[i]) & 0xFF) for i in range(3))
+                prev = px
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG bytes -> (width, height, channels, raw pixel bytes).  Supports
+    8-bit greyscale (0), RGB (2) and RGBA (6), non-interlaced; all five
+    scanline filters; CRC-checked chunk walk."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"unsupported color type {ctype_n}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("truncated IDAT")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:      # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:    # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# WAV codec (RIFF PCM int16)
+# --------------------------------------------------------------------------
+
+def wav_encode(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """WAV bytes -> (sample_rate, channels, int16 sample array)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + length]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, np.frombuffer(pcm, dtype="<i2")
+
+
+# --------------------------------------------------------------------------
+# RAWV codec (raw-frame video container)
+# --------------------------------------------------------------------------
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def rawv_encode(frames: list[bytes], width: int, height: int,
+                fps: int) -> bytes:
+    if any(len(f) != width * height * 3 for f in frames):
+        raise ValueError("frame size mismatch")
+    return (_RAWV_MAGIC
+            + struct.pack("<HHHB", len(frames), width, height, fps)
+            + b"".join(frames))
+
+
+def rawv_decode(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """RAWV bytes -> (width, height, fps, [RGB frame bytes])."""
+    if data[:4] != _RAWV_MAGIC:
+        raise ValueError("not a RAWV container")
+    n, width, height, fps = struct.unpack("<HHHB", data[4:11])
+    size = width * height * 3
+    if len(data) != 11 + n * size:
+        raise ValueError("truncated RAWV payload")
+    frames = [data[11 + i * size:11 + (i + 1) * size] for i in range(n)]
+    return width, height, fps, frames
+
+
+# --------------------------------------------------------------------------
+# feature extraction (decoded content -> fixed 8-float vector)
+# --------------------------------------------------------------------------
+
+def decode_features(payload: bytes, kind: str) -> list[float]:
+    """Decode the payload with the format's real codec and compute content
+    statistics.  Raises ValueError on malformed payloads (callers emit an
+    ``err`` row)."""
+    if kind == "image":
+        w, h, c, pix = png_decode(payload)
+        a = np.frombuffer(pix, dtype=np.uint8).astype(np.float64) / 255.0
+        chans = a.reshape(-1, c)
+        return [float(w), float(h), float(c),
+                float(a.mean()), float(a.std()),
+                float(chans[:, 0].mean()),
+                float(chans[:, min(1, c - 1)].mean()),
+                float(chans[:, min(2, c - 1)].mean())]
+    if kind == "audio":
+        rate, _ch, samples = wav_decode(payload)
+        s = samples.astype(np.float64) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(s).astype(np.int8)))))
+        return [float(len(s)), float(rate),
+                float(np.abs(s).mean()),
+                float(np.sqrt((s ** 2).mean())),
+                float(np.abs(s).max(initial=0.0)),
+                zc, float(s.mean()), 0.0]
+    if kind == "video":
+        w, h, fps, frames = rawv_decode(payload)
+        lum = [np.frombuffer(f, dtype=np.uint8).astype(np.float64).mean()
+               / 255.0 for f in frames]
+        diffs = [float(np.abs(
+            np.frombuffer(frames[i + 1], dtype=np.uint8).astype(np.int16)
+            - np.frombuffer(frames[i], dtype=np.uint8).astype(np.int16)
+        ).mean() / 255.0) for i in range(len(frames) - 1)]
+        return [float(len(frames)), float(w), float(h), float(fps),
+                float(np.mean(lum)), float(np.std(lum)),
+                float(np.mean(diffs)) if diffs else 0.0, 0.0]
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+# --------------------------------------------------------------------------
+# synthetic asset source (REAL payloads, deterministic)
+# --------------------------------------------------------------------------
+
+def _byte_stream(seed: str, n: int) -> bytes:
+    """n deterministic bytes from a keyed blake2b counter stream."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out.extend(hashlib.blake2b(f"{seed}:{i}".encode(),
+                                   digest_size=64).digest())
+        i += 1
+    return bytes(out[:n])
+
+
+def make_asset(i: int, seed: int = 7) -> tuple:
+    """One deterministic (asset_id, kind, payload, meta) row with a real
+    PNG / WAV / RAWV payload."""
+    kind = ["image", "audio", "video"][i % 3]
+    if kind == "image":
+        w, h = 16 * (1 + i % 4), 8 * (1 + i % 3)
+        payload = png_encode(_byte_stream(f"{seed}-img-{i}", w * h * 3), w, h)
+        meta = {"width": w, "height": h, "duration_ms": None,
+                "mime": "image/png"}
+    elif kind == "audio":
+        n, rate = 512 + 7 * (i % 50), 8000
+        samples = np.frombuffer(
+            _byte_stream(f"{seed}-aud-{i}", n * 2), dtype="<i2")
+        payload = wav_encode(samples, rate)
+        meta = {"width": None, "height": None,
+                "duration_ms": int(n * 1000 / rate), "mime": "audio/wav"}
+    else:
+        w, h, fps = 16, 8, 5 + i % 10
+        n_frames = 3 + i % 3
+        frames = [_byte_stream(f"{seed}-vid-{i}-{f}", w * h * 3)
+                  for f in range(n_frames)]
+        payload = rawv_encode(frames, w, h, fps)
+        meta = {"width": w, "height": h,
+                "duration_ms": int(n_frames * 1000 / fps),
+                "mime": "video/x-raw"}
+    return (i, kind, payload, meta)
 
 
 def synth_assets(spark: SparkSession, n: int, seed: int = 7) -> DataFrame:
-    """Deterministic synthetic asset table (payload = seeded bytes)."""
-    kinds = ["image", "audio", "video"]
-
-    def make(i: int):
-        kind = kinds[i % 3]
-        payload = hashlib.blake2b(
-            f"{seed}-{i}".encode(), digest_size=64).digest() * (1 + i % 4)
-        meta = {
-            "width": 64 * (1 + i % 8) if kind == "image" else None,
-            "height": 48 * (1 + i % 8) if kind == "image" else None,
-            "duration_ms": 1000 * (1 + i % 30) if kind != "image" else None,
-            "mime": {"image": "image/png", "audio": "audio/wav",
-                     "video": "video/mp4"}[kind],
-        }
-        return (i, kind, payload, meta)
-
-    rdd = spark.sparkContext.parallelize(range(n), max(2, n // 100)).map(make)
+    """Deterministic synthetic asset table with REAL codec payloads."""
+    rdd = spark.sparkContext.parallelize(range(n), max(2, n // 100)) \
+        .map(lambda i: make_asset(i, seed))
     return spark.createDataFrame(rdd, ASSET_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Spark operators
+# --------------------------------------------------------------------------
+
 def asset_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched 'decode' + feature extraction over binary payloads."""
+    """Arrow-batched decode + feature extraction over binary payloads.
+    Malformed payloads produce an ``err`` row (feature = zeros) instead of
+    failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,12 +337,18 @@ def asset_features(assets: DataFrame) -> DataFrame:
             for asset_id, kind, payload in zip(
                     pdf["asset_id"], pdf["kind"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
+                try:
+                    feat = decode_features(raw, kind)
+                    err = None
+                except (ValueError, zlib.error, struct.error) as exc:
+                    feat, err = [0.0] * N_FEATURES, f"{type(exc).__name__}: {exc}"[:200]
                 rows.append({
                     "asset_id": int(asset_id),
                     "kind": kind,
                     "n_bytes": len(raw),
                     "payload_sha": hashlib.sha256(raw).hexdigest(),
-                    "feature": decode_stub(raw, kind),
+                    "feature": feat,
+                    "err": err,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
 
@@ -95,8 +357,8 @@ def asset_features(assets: DataFrame) -> DataFrame:
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: one row per (asset, frame_ts) — the
-    explode that precedes a per-frame decode UDF (decode itself stubbed)."""
+    """Video frame-sampling plan: one row per (asset, frame_ts) — the
+    explode that precedes the per-frame decode UDF."""
     return (
         assets.filter(F.col("kind") == "video")
         .select(
@@ -118,10 +380,9 @@ FRAME_FEATURE_SCHEMA = T.StructType([
 def frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Per-frame feature extraction: frame-sample plan joined back to the
     payload, then one Arrow-batched UDF row per (asset, frame).  The frame
-    'decode' is the deterministic stub seeded by (payload, frame_ts) — a
-    production build replaces it with an ffmpeg seek+decode behind the
-    same signature; the Spark plumbing (explode -> join -> mapInPandas
-    batch shape) is the real, scale-relevant part."""
+    at each sampled timestamp is REALLY decoded from the RAWV container
+    (index = ts * fps / 1000, clamped); per-frame luminance stats come
+    from the decoded RGB bytes."""
     plan = frame_sample_plan(assets, every_ms)
     frames = plan.join(assets.select("asset_id", "payload"), "asset_id")
 
@@ -131,12 +392,17 @@ def frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             for asset_id, ts, payload in zip(
                     pdf["asset_id"], pdf["frame_ts_ms"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                seed = raw + int(ts).to_bytes(8, "little")
+                w, h, fps, fr = rawv_decode(raw)
+                idx = min(int(ts) * fps // 1000, len(fr) - 1)
+                frame = fr[idx]
+                a = np.frombuffer(frame, dtype=np.uint8).astype(np.float64) / 255.0
                 rows.append({
                     "asset_id": int(asset_id),
                     "frame_ts_ms": int(ts),
-                    "frame_sha": hashlib.sha256(seed).hexdigest(),
-                    "feature": decode_stub(seed, "video"),
+                    "frame_sha": hashlib.sha256(frame).hexdigest(),
+                    "feature": [float(idx), float(w), float(h), float(fps),
+                                float(a.mean()), float(a.std()),
+                                float(a.min()), float(a.max())],
                 })
             yield pd.DataFrame(rows,
                                columns=[f.name for f in FRAME_FEATURE_SCHEMA])

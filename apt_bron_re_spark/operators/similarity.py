@@ -56,7 +56,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     joined = vectors.crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 4)
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 3)
         .alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col))
@@ -223,7 +223,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         q_id_col, id_col, vec_col, q_vec_col)
     scored = cands.select(
         F.col(q_id_col), F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 4)
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 3)
         .alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -249,7 +249,7 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     )
     scored = cands.select(
         F.col(q_id_col), F.col(id_col),
-        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 4)
+        F.round(cosine_expr(F.col(vec_col), F.col(q_vec_col)), 3)
         .alias("cos_sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (scored.withColumn("rnk", F.row_number().over(w))

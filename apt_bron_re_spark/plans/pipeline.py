@@ -46,7 +46,8 @@ class Pipeline:
                  sim_threshold: float = SIM_THRESHOLD,
                  lang: str | None = "en",
                  fuse_extract: bool = False,
-                 canon_cache_dir: str | Path | None = None) -> None:
+                 canon_cache_dir: str | Path | None = None,
+                 catalog: str | None = None) -> None:
         """``fuse_extract=True`` runs E1 inside the mention UDF and skips
         materializing the docs table (half the stage-table IO; the same
         byte-identical extractor).  The unfused default keeps the extract
@@ -58,7 +59,18 @@ class Pipeline:
         graph, never on the corpus) — the same precompute-once shape as
         the reference's node-embedding cache (embeddings.py) — so
         recomputing the connected-components job per corpus run is pure
-        fixed latency; with a cache it is a parquet read."""
+        fixed latency; with a cache it is a parquet read.
+
+        ``catalog``: the Iceberg one-line swap (S7/S8 proper).  When set
+        (e.g. ``"ice.db"``), every stage table becomes the Iceberg table
+        ``<catalog>.<name>`` written via ``writeTo(...).partitionedBy(
+        bucket(n_buckets, url))`` — the real partition transform the
+        parquet ``pbucket`` column emulates — and incremental chunks use
+        ``overwritePartitions()`` (Iceberg's native dynamic overwrite,
+        same exactly-once semantics as the parquet path).  Requires an
+        Iceberg runtime on the session (tests/test_iceberg_optional.py
+        runs the full pipeline this way when ``SPARK_ICEBERG_JAR`` is
+        set; the sandbox has no jars, so it skips explicitly)."""
         self.spark = spark
         self.layer_map = layer_map
         self.base = Path(base_dir)
@@ -68,6 +80,7 @@ class Pipeline:
         self.lang = lang
         self.fuse_extract = fuse_extract
         self.canon_cache_dir = canon_cache_dir
+        self.catalog = catalog
         self.log = LineageLog(spark, base_dir)
         self._catalog_fp = fingerprint(layer_map)
 
@@ -111,6 +124,15 @@ class Pipeline:
 
     def _write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
                pre_partitioned: bool = False) -> None:
+        if self.catalog:
+            w = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
+            if partition_by == ["pbucket"]:
+                # the REAL bucket transform the parquet pbucket emulates
+                w = w.partitionedBy(F.bucket(self.n_buckets, F.col("url")))
+            elif partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
         if pre_partitioned:
             # the builder guarantees the plan is already
             # HashPartitioning(url, n_buckets)-clustered (or a union of
@@ -142,6 +164,8 @@ class Pipeline:
         w.parquet(self._path(name))
 
     def _read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.table(f"{self.catalog}.{name}")
         return self.spark.read.parquet(self._path(name))
 
     def _run_stage(self, stage: str, fp: str, build, name: str,
@@ -175,6 +199,21 @@ class Pipeline:
         partition overwrite replaces exactly the chunk's partitions, so a
         retry after a kill between data-commit and lineage-append rewrites
         the same partitions instead of appending duplicates."""
+        if self.catalog:
+            tbl = f"{self.catalog}.{name}"
+            if self.spark.catalog.tableExists(tbl):
+                # Iceberg's native dynamic overwrite: replaces exactly the
+                # partitions the chunk touches — same exactly-once story
+                df.writeTo(tbl).overwritePartitions()
+            else:
+                w = df.writeTo(tbl).using("iceberg")
+                if partition_col == "pbucket":
+                    w = w.partitionedBy(
+                        F.bucket(self.n_buckets, F.col("url")))
+                else:
+                    w = w.partitionedBy(partition_col)
+                w.create()
+            return
         (df.repartition(self.n_buckets, F.col(partition_col))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -183,6 +222,16 @@ class Pipeline:
 
     # -- stages -----------------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = True) -> DataFrame:
+        # Batch stage-1/2 writes keep the pbucket COLUMN but skip the
+        # bucketing repartition + partitionBy dirs: the mention UDF output
+        # streams straight from the scan-aligned tasks into parquet — no
+        # wide shuffle of sentence-bearing rows just to lay out dirs the
+        # batch path never prunes on.  (The link stage establishes its own
+        # url partitioning from the scan.)  The per-bucket layout matters
+        # only for chunked-incremental resume, whose own writers
+        # (run_mention_incremental/_write_buckets) still produce it; reads
+        # work identically on either layout because pbucket is a column
+        # filter there, with dir pruning as a bonus when dirs exist.
         fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
         if self.fuse_extract:
             fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention", "fused")
@@ -193,19 +242,19 @@ class Pipeline:
                 lambda: self._bucketed(mention.detect_mentions(
                     filtered.select("url", "html"), self.layer_map,
                     from_html=True)),
-                "mentions", partition_by=["pbucket"], resume=resume)
+                "mentions", resume=resume)
         else:
             docs = self._run_stage(
                 "extract", fp0,
                 lambda: self._bucketed(extract_docs(pages, self.lang)),
-                "docs", partition_by=["pbucket"], resume=resume)
+                "docs", resume=resume)
 
             fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention")
             stage2 = self._run_stage(
                 "mention", fp1,
                 lambda: self._bucketed(
                     mention.detect_mentions(docs.drop("pbucket"), self.layer_map)),
-                "mentions", partition_by=["pbucket"], resume=resume)
+                "mentions", resume=resume)
 
         fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
 
@@ -231,17 +280,17 @@ class Pipeline:
                  .repartition(self.n_buckets, F.col("url")))
             dls = mention.doc_lengths_view(stage2)
 
-            # BM25 globals frozen to tiny tables (same mechanism as the
-            # chunked-incremental path): df is catalog-bounded — its keys
-            # are catalog entity names — so broadcasting it keeps the tf
-            # stream's url partitioning intact.
-            stats, df_ = bm25.bm25_global_stats(
-                mention.mentions_view(stage2), dls)
-            self._write(stats, "link_aux_stats")
-            self._write(df_, "link_aux_df")
+            # BM25 globals inline: df is catalog-bounded (its keys are
+            # catalog entity names), so it broadcasts — which keeps the
+            # tf stream's url partitioning intact — and its build subtree
+            # shares the url-repartition exchange with the main scored
+            # stream (ReuseExchange), so no extra pass over the wide
+            # table and no aux-table write jobs.  The chunked-incremental
+            # path (run_link_incremental) still freezes these to parquet,
+            # where cross-session exactness requires it.
+            stats, df_ = bm25.bm25_global_stats(m, dls)
             scored, passthrough = bm25.add_bm25_frozen_split(
-                m, dls, self._read("link_aux_stats"),
-                self._read("link_aux_df"))
+                m, dls, stats, df_)
 
             links = linking.build_links(
                 r, self.layer_map,
@@ -329,9 +378,18 @@ class Pipeline:
             out = mention.detect_mentions(
                 part.select("url", "html"), self.layer_map, from_html=True)
             out = self._bucketed(out)
-            (out.repartition(*[F.col("pbucket")])
-             .write.mode("append").partitionBy("pbucket")
-             .parquet(self._path("mentions")))
+            if self.catalog:
+                tbl = f"{self.catalog}.mentions"
+                if self.spark.catalog.tableExists(tbl):
+                    out.writeTo(tbl).append()
+                else:
+                    (out.writeTo(tbl).using("iceberg")
+                     .partitionedBy(F.bucket(self.n_buckets, F.col("url")))
+                     .create())
+            else:
+                (out.repartition(*[F.col("pbucket")])
+                 .write.mode("append").partitionBy("pbucket")
+                 .parquet(self._path("mentions")))
             written = self._read("mentions").filter(
                 F.col("pbucket").isin(chunk))
             counts = {r["pbucket"]: r["n"] for r in

@@ -32,10 +32,17 @@ execution shapes, both reusing the batch operators:
    smallest source urls, the best-scored justification, and the max score
    — the same merge algebra as the batch salted aggregation, so on a
    url-disjoint stream the final emitted row per key equals the batch
-   ``materialize_triples(evidence(mentions, None, canon))`` row exactly
-   (pytest-pinned).  This view covers dictionary/NER mentions (stages 1-2
-   + canonicalize + materialize); the link-stage residual evidence is
-   inherently corpus-global (frozen BM25) and lives in shape 1.
+   ``materialize_triples(evidence(merged, residual, canon))`` row exactly
+   (pytest-pinned).  With ``link=True`` the L2-L5 link pass (variant +
+   semantic against the FROZEN catalog — neither needs corpus statistics)
+   also runs row-locally inside the same UDF, mirroring the batch
+   ``build_links``/``merge_links`` per url: mention scores take
+   max(mention, link) and link-only keys become sentence-free residual
+   evidence.  Only the BM25 annotation (corpus-global df/m/avgdl) is
+   inherently batch-shaped; it never feeds evidence scores, so the live
+   triple set matches batch even on corpora where links change it.
+   Urls must arrive in exactly one micro-batch; proven violations are
+   surfaced per key as ``replays_detected`` (see stream_triples_live).
 
 Scale notes: state per key is O(max_sources) regardless of how many pages
 mention a hub edge — the streaming twin of the batch salted two-phase
@@ -83,6 +90,10 @@ TRIPLE_SCHEMA = T.StructType([
     T.StructField("n_sources", T.LongType(), False),
     T.StructField("justification", T.StringType(), True),
     T.StructField("score", T.DoubleType(), False),
+    # violations of the one-batch-per-url contract that the bounded state
+    # could PROVE (replayed url found in the kept k-smallest sample) — a
+    # nonzero value means the source is replaying urls across triggers
+    T.StructField("replays_detected", T.LongType(), False),
 ])
 
 _STATE_SCHEMA = T.StructType([
@@ -93,6 +104,7 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("bj_has", T.BooleanType()),
     T.StructField("bj_url", T.StringType()),
     T.StructField("bj", T.StringType()),
+    T.StructField("replays", T.LongType()),
 ])
 
 
@@ -112,7 +124,8 @@ def _sent_key(score: float, sentence: str | None) -> tuple:
 
 
 def _doc_pairs(results: dict, canon_map: dict,
-               predicate_map: dict) -> dict:
+               predicate_map: dict,
+               residual_links: list[tuple] | None = None) -> dict:
     """Per-document evidence pairing — the row-local twin of
     materialize.evidence_rows + the pairing join in materialize_triples,
     restricted to one url.  Returns {(subj, pred, obj): (pair_score,
@@ -142,6 +155,20 @@ def _doc_pairs(results: dict, canon_map: dict,
                                  (score, sentence)))[1][1]
                 ev[key] = (max(cur[0], score), best_sent)
 
+    # residual-link evidence (label, original_id, score) — sentence-free,
+    # exactly like the batch residual_links branch of evidence_rows
+    for (label, entity_id, score) in (residual_links or ()):
+        canon_id = canon_map.get((label, entity_id), entity_id)
+        key = (label, canon_id)
+        cur = ev.get(key)
+        if cur is None:
+            ev[key] = (float(score or 0.0), None)
+        else:
+            best_sent = max((_sent_key(*cur), cur),
+                            (_sent_key(float(score or 0.0), None),
+                             (float(score or 0.0), None)))[1][1]
+            ev[key] = (max(cur[0], float(score or 0.0)), best_sent)
+
     by_label: dict[str, list[tuple[str, float, str | None]]] = {}
     for (label, canon_id), (score, sentence) in ev.items():
         by_label.setdefault(label, []).append((canon_id, score, sentence))
@@ -166,17 +193,115 @@ def _doc_pairs(results: dict, canon_map: dict,
     return pairs
 
 
+class RowLinker:
+    """Frozen-catalog entity linking (L2-L5) for ONE document at a time —
+    the row-local twin of ``linking.build_links`` + the best-link rule of
+    ``linking.best_links``.  Neither the variant table nor the node
+    embeddings depend on the corpus, so the pass is exact inside a
+    streaming UDF; only BM25 (corpus df/m/avgdl) cannot move here.
+
+    Built once on the driver, shipped in the UDF closure (catalog-sized,
+    broadcast semantics)."""
+
+    def __init__(self, layer_map: dict[str, list[dict]],
+                 semantic: bool = True,
+                 threshold: float | None = None) -> None:
+        from ..config import SIM_THRESHOLD
+        from ..functions.embedder import embed_batch
+        from ..operators.linking import (node_embedding_rows,
+                                         node_variant_rows)
+        self.threshold = SIM_THRESHOLD if threshold is None else threshold
+        self.semantic = semantic
+        self.variants: dict[str, list[tuple]] = {}
+        for label, variant, oid, name in node_variant_rows(layer_map):
+            self.variants.setdefault(variant, []).append((label, oid, name))
+        if semantic:
+            rows = node_embedding_rows(layer_map)
+            self.emb_matrix = embed_batch([r["text"] for r in rows])
+            self.emb_nodes = [(r["label"], r["original_id"], r["name"])
+                              for r in rows]
+        self._embed = embed_batch
+
+    def _links_for(self, residue: dict) -> dict[tuple, tuple]:
+        """residue {bucket: [values]} -> {(label, oid_l): best link tuple
+        (s, match_type, ner, semantic_score, name, original_id)} under the
+        batch best-link order (semantic over variant, then score, then
+        semantic score, then max ner...)."""
+        cands: dict[tuple, list] = {}
+        sem_values = []
+        for bucket, values in residue.items():
+            for value in values:
+                for (label, oid, name) in self.variants.get(
+                        value.lower(), ()):
+                    s = 1.0 if bucket == label else 0.5
+                    cands.setdefault(
+                        (label, (oid or "").lower()), []).append(
+                        (False, s, -1.0, value.lower(), "variant",
+                         None, name, oid))
+                if self.semantic:
+                    sem_values.append((bucket, value))
+        if self.semantic and sem_values:
+            vecs = self._embed([v for _b, v in sem_values])
+            sims = vecs @ self.emb_matrix.T
+            for (bucket, value), row in zip(sem_values, sims):
+                for k in (row >= self.threshold).nonzero()[0]:
+                    label, oid, name = self.emb_nodes[int(k)]
+                    s = 1.0 if bucket == label else 0.5
+                    ss = round(float(row[k]), 4)
+                    cands.setdefault(
+                        (label, (oid or "").lower()), []).append(
+                        (True, s, ss, value, "semantic", ss, name, oid))
+
+        def ordkey(c):
+            # mirror of linking.best_links struct-max: null sorts lowest
+            (is_sem, s, ss, ner, mt, sem, name, oid) = c
+            return (is_sem, s, ss, ner, mt,
+                    sem is not None, sem or 0.0,
+                    name is not None, name or "",
+                    oid is not None, oid or "")
+
+        return {key: max(cs, key=ordkey) for key, cs in cands.items()}
+
+    def apply(self, results: dict, residue: dict) -> list[tuple]:
+        """Fold links into ``results`` IN PLACE (NER_score = max(mention,
+        link) on every matching mention entry — batch merge_links) and
+        return the residual-link evidence [(label, original_id, score)]
+        for keys with no mention."""
+        best = self._links_for(residue)
+        if not best:
+            return []
+        mention_keys = set()
+        for category, entries in results.items():
+            for ent in entries:
+                oid = ent.get("original_id")
+                key = (category, (oid if oid is not None else "").lower())
+                mention_keys.add(key)
+                link = best.get(key)
+                if link is not None:
+                    ent["NER_score"] = max(
+                        float(ent.get("NER_score", 0.0) or 0.0), link[1])
+        return [(label, link[7], link[1])
+                for (label, oid_l), link in best.items()
+                if (label, oid_l) not in mention_keys]
+
+
 def stream_evidence_pairs(pages_stream: DataFrame,
                           layer_map: dict[str, list[dict]],
                           canon_map: dict,
                           predicate_map: dict | None = None,
-                          lang: str = "en") -> DataFrame:
+                          lang: str = "en",
+                          link: bool = True,
+                          semantic: bool = True,
+                          threshold: float | None = None) -> DataFrame:
     """pages stream -> (subj, pred, obj, url, pair_score, justification):
-    extract + mention + canonicalize + per-doc pairing in ONE row-local
-    mapInPandas pass (works identically on a batch DataFrame)."""
+    extract + mention + frozen-catalog linking + canonicalize + per-doc
+    pairing in ONE row-local mapInPandas pass (works identically on a
+    batch DataFrame).  ``link=False`` restores the mentions-only view."""
     predicate_map = predicate_map or PREDICATE_MAP
     catalog = compile_catalog(layer_map)
     tagger = NerTagger(layer_map)
+    linker = RowLinker(layer_map, semantic=semantic,
+                       threshold=threshold) if link else None
     out_cols = [f.name for f in PAIR_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,12 +310,14 @@ def stream_evidence_pairs(pages_stream: DataFrame,
             for url, html in zip(pdf["url"], pdf["html"]):
                 text = extract_text(html)
                 try:
-                    results, _residue, _dl = process_document(
+                    results, residue, _dl = process_document(
                         text, catalog, tagger)
                 except Exception:  # reference catch-and-log per doc
                     continue
+                residuals = linker.apply(results, residue) if linker else []
                 for (subj, pred, obj), (s, j) in _doc_pairs(
-                        results, canon_map, predicate_map).items():
+                        results, canon_map, predicate_map,
+                        residuals).items():
                     rows.append({"subj": subj, "pred": pred, "obj": obj,
                                  "url": url, "pair_score": s,
                                  "justification": j})
@@ -215,12 +342,14 @@ def stream_triples_live(pairs: DataFrame,
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, sources, score, bj_s, bj_has, bj_url, bj = state.get
+            n, sources, score, bj_s, bj_has, bj_url, bj, replays = state.get
             sources = list(sources)
         else:
             n, sources, score = 0, [], 0.0
             bj_s, bj_has, bj_url, bj = float("-inf"), False, "", None
+            replays = 0
 
+        prior = set(sources)
         seen_urls: set[str] = set()
         for pdf in pdfs:
             for url, s, j in zip(pdf["url"], pdf["pair_score"],
@@ -229,21 +358,30 @@ def stream_triples_live(pairs: DataFrame,
                 s = float(s)
                 if url not in seen_urls:
                     seen_urls.add(url)
-                    n += 1
+                    if url in prior:
+                        # PROVEN replay of a url counted in an earlier
+                        # trigger (it survives in the k-smallest sample):
+                        # surface the contract violation, do not recount.
+                        # Replays of urls OUTSIDE the sample are
+                        # undetectable with bounded state (documented).
+                        replays += 1
+                    else:
+                        n += 1
                 score = max(score, s)
                 # cross-url best-justification order — the streaming twin
                 # of the batch argmax key struct(s, has_sentence, url)
-                # (materialize._BJ; subj_label already folded per url)
+                # (materialize._bj; subj_label already folded per url)
                 if (s, j is not None, url) > (bj_s, bj_has, bj_url):
                     bj_s, bj_has, bj_url, bj = s, j is not None, url, j
             sources = sorted(set(sources) | seen_urls)[:max_sources]
 
-        state.update((n, sources, score, bj_s, bj_has, bj_url, bj))
+        state.update((n, sources, score, bj_s, bj_has, bj_url, bj, replays))
         subj, pred, obj = key
         yield pd.DataFrame([{
             "subj": subj, "pred": pred, "obj": obj,
             "sources": sources, "n_sources": n,
             "justification": bj, "score": round(score, 4),
+            "replays_detected": replays,
         }])
 
     return pairs.groupBy("subj", "pred", "obj").applyInPandasWithState(

@@ -111,6 +111,15 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     triples_per_sec = round(n_triples / kg_wall, 2) if kg_wall > 0 else 0.0
+    # host-noise evidence alongside the timings: loadavg and accumulated
+    # vCPU steal bracket the run so a noisy-neighbour window is visible in
+    # the recorded artifact (round-2 note: single runs swing +-30%)
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        steal_s = int(open("/proc/stat").readline().split()[8]) / os.sysconf(
+            "SC_CLK_TCK")
+    except Exception:
+        load1, steal_s = None, None
     print(json.dumps({
         "metric": "triples_per_sec",
         "value": triples_per_sec,
@@ -119,6 +128,8 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "n_triples": n_triples,
+        "loadavg_end": load1,
+        "steal_total_s": steal_s,
     }))
 
 

@@ -174,9 +174,12 @@ def main() -> None:
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
-    # 14. evidence pairing self-join: FORCED shuffle join — an AQE runtime
-    # broadcast of the data-sized b side is a serial driver-side build
-    # (observed bimodal 109s/234s at 256k pages before the hint)
+    # 14. evidence pairing: a row-local double explode over per-url entity
+    # arrays — NO self-join at all (rounds 1-2 used a forced-SMJ self-join;
+    # AQE sporadically broadcast its data-sized side), and the sentence
+    # string must be ABSENT from the pairing branch (argmax-first
+    # justification: only (url, label, canon_id, score, has_sentence)
+    # shuffles; the sentence attaches after aggregation)
     from apt_bron_re_spark.operators.materialize import materialize_triples
     # label must VARY: a constant label constant-folds the preds equi-join
     # into a degenerate BNLJ and the check would flag an artifact
@@ -188,19 +191,20 @@ def main() -> None:
         "0.5 as score", "text as sentence")
     p = plan_of(materialize_triples(ev))
     checks.append((
-        "materialize pairing join (evidence self-join on url)", p,
-        ["SortMergeJoin", "HashAggregate"],
+        "materialize pairing (row-local explode, argmax-first sentence)", p,
+        ["Generate", "HashAggregate", "collect_list"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ))
 
     # 15. IVF ANN: centroid assignment is broadcast x algebraic argmax
     # (BNLJ against the tiny centroid table is the intended shape);
-    # no cartesian product, no Python
+    # no cartesian product, no Python.  The argmax-as-aggregate shape is
+    # pinned by the max(struct) aggregate expression itself ("max(s"),
+    # not a generic Aggregate node that any groupBy would match.
     p = plan_of(SPARK_QUERIES["ann_ivf_topk"](spark, SF_DIR))
     checks.append((
         "ann_ivf_topk (sampled-centroid IVF)", p,
-        # the argmax is max(struct) -> SortAggregate, so match "Aggregate"
-        ["BroadcastNestedLoopJoin", "Aggregate"],
+        ["BroadcastNestedLoopJoin", "max(s"],
         ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
     ))
 
@@ -212,6 +216,80 @@ def main() -> None:
         ["ArrowEvalPython"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
+
+    # 17/18. link + materialize stage plans over REAL stage tables: one
+    # url hash-partitioning per stage.  A regression of the subset
+    # co-partition reuse re-shuffles the score/merge joins onto their full
+    # key sets — visible as an ENSURE_REQUIREMENTS exchange keyed
+    # "hashpartitioning(category" (the score join) — and a regression of
+    # argmax-first justification puts "sentence" back into the pairing
+    # branch.  Built on a tiny fused mention stage in a temp dir.
+    import re
+    import shutil
+    import tempfile
+
+    from apt_bron_re_spark.operators import bm25 as _bm25
+    from apt_bron_re_spark.operators import linking as _linking
+    from apt_bron_re_spark.operators import materialize as _mat
+    from apt_bron_re_spark.operators import mention as _mention
+    from apt_bron_re_spark.plans.pipeline import Pipeline as _Pipeline
+
+    td = tempfile.mkdtemp(prefix="_audit_stage_")
+    lm = build_layer_map()
+    pipe = _Pipeline(spark, lm, td, n_buckets=8, fuse_extract=True)
+    pipe.run(pages_df(spark, 80), resume=False)
+    stage2 = spark.read.parquet(f"{td}/mentions")
+    m = _mention.mentions_view(stage2).repartition(8, F.col("url"))
+    r = _mention.residue_view(stage2).repartition(8, F.col("url"))
+    dls = _mention.doc_lengths_view(stage2)
+    _stats_a, _df_a = _bm25.bm25_global_stats(m, dls)
+    scored, passthrough = _bm25.add_bm25_frozen_split(
+        m, dls, _stats_a, _df_a)
+    links = _linking.build_links(r, lm)
+    keys = m.select("url", "category", F.lower(
+        F.coalesce("original_id", F.lit(""))).alias("oid_l")).distinct()
+    ms_, mp_, _res = _linking.merge_links_split(
+        scored, passthrough, links, keys)
+    merged = pipe._bucketed(ms_).unionByName(pipe._bucketed(mp_))
+    p = plan_of(merged)
+    # a regression of subset co-partition reuse re-shuffles the score /
+    # merge joins onto their FULL key sets — an exchange keyed on both
+    # category and url.  (An exchange keyed on category alone is fine:
+    # the catalog-bounded df aggregation inside the broadcast build.)
+    bad_exchange = any(
+        "hashpartitioning(category" in ln and ", url#" in ln
+        for ln in p.splitlines() if "Arguments: hashpartitioning" in ln)
+    checks.append((
+        "link stage (one url partitioning; score+merge joins exchange-free)",
+        p + ("" if bad_exchange else " NO_FULLKEY_RESHUFFLE"),
+        # shuffle_hash joins: the wide mention stream is never SORTED
+        ["REPARTITION_BY_NUM", "ShuffledHashJoin", "Union",
+         "NO_FULLKEY_RESHUFFLE"],
+        [],
+    ))
+
+    linked = spark.read.parquet(f"{td}/linked")
+    residual = spark.read.parquet(f"{td}/links_residual")
+    canon = spark.read.parquet(f"{td}/canon")
+    tri = _mat.materialize_triples(
+        _mat.evidence_rows(linked, residual, canon), partitions=8)
+    p = plan_of(tri)
+    n_repart = len(re.findall(r"REPARTITION_BY_NUM", p))
+    checks.append((
+        "materialize stage (single narrow url shuffle, explode pairing)",
+        p,
+        ["Generate", "REPARTITION_BY_NUM"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ))
+    checks.append((
+        f"materialize stage: exactly one pinned url repartition "
+        f"(found {n_repart})",
+        f"(derived from the plan above: {n_repart} REPARTITION_BY_NUM "
+        f"exchange(s))" + (" ONE_PINNED_OK" if n_repart == 1 else ""),
+        ["ONE_PINNED_OK"],
+        [],
+    ))
+    shutil.rmtree(td, ignore_errors=True)
 
     lines = ["# PLANS — physical-plan audit (explain(\"formatted\"))", "",
              "Generated by scripts/explain_audit.py; each section lists the "

@@ -1,12 +1,25 @@
 """S7/S8 Iceberg proper — exercised when an Iceberg runtime is present,
 skipped (not silently dropped) when it is not.
 
-The stage tables ship as parquet with a ``pbucket = crc32(url) % N``
+The stage tables ship as parquet with a ``pbucket = pmod(murmur3(url), N)``
 column — the documented analog of Iceberg's ``bucket(N, url)`` partition
-transform (plans/pipeline.py:5-9).  This test performs the actual
-``writeTo(...).partitionedBy(bucket(N, url))`` swap; the sandbox has no
-Iceberg jars, so it skips with an explicit reason rather than pretending
-coverage."""
+transform (plans/pipeline.py module docstring).  Two tiers:
+
+* ``test_iceberg_bucket_partitioned_write_or_skip`` — the minimal
+  ``writeTo(...).partitionedBy(bucket(...))`` swap against whatever
+  session exists (skips when no Iceberg catalog/jars are configured);
+* ``test_iceberg_full_pipeline_or_skip`` — the FULL 5-stage pipeline with
+  ``Pipeline(catalog="ice.db")`` (every stage table an Iceberg table,
+  incremental chunks via ``overwritePartitions``), run in a subprocess
+  JVM with the jar on the classpath.  Set ``SPARK_ICEBERG_JAR`` to the
+  iceberg-spark-runtime jar path to enable; the sandbox ships no jars,
+  so it skips with an explicit reason rather than pretending coverage.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -29,3 +42,58 @@ def test_iceberg_bucket_partitioned_write_or_skip(spark, tmp_path):
 
     got = spark.read.table("ice.db.docs_stage")
     assert got.count() == 20
+
+
+_FULL_PIPELINE_RUNNER = r"""
+import json, os, sys, tempfile
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+wh = tempfile.mkdtemp(prefix="ice_wh_")
+spark = (SparkSession.builder.master("local[4]")
+    .appName("iceberg_e2e")
+    .config("spark.jars", os.environ["SPARK_ICEBERG_JAR"])
+    .config("spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions")
+    .config("spark.sql.catalog.ice",
+            "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.ice.type", "hadoop")
+    .config("spark.sql.catalog.ice.warehouse", wh)
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate())
+spark.sql("CREATE NAMESPACE IF NOT EXISTS ice.db")
+from apt_bron_re_spark.catalog.synthetic import build_layer_map
+from apt_bron_re_spark.plans.pipeline import Pipeline
+from apt_bron_re_spark.sources.pages import pages_df
+
+pages = pages_df(spark, 60)
+lm = build_layer_map()
+# parquet truth
+pq = Pipeline(spark, lm, tempfile.mkdtemp(prefix="ice_pq_"), n_buckets=8)
+want = sorted((r.subj, r.pred, r.obj, tuple(r.sources), r.n_sources,
+               r.justification, r.score)
+              for r in pq.run(pages, resume=False).collect())
+# full Iceberg-backed run: batch stages + incremental mention chunks
+ice = Pipeline(spark, lm, tempfile.mkdtemp(prefix="ice_st_"), n_buckets=8,
+               catalog="ice.db", fuse_extract=True)
+assert ice.run_mention_incremental(pages, n_chunks=2)
+assert ice.run_link_incremental(n_chunks=2)
+assert ice.run_materialize_incremental(n_chunks=2)
+got = sorted((r.subj, r.pred, r.obj, tuple(r.sources), r.n_sources,
+              r.justification, r.score)
+             for r in ice.triples().collect())
+assert got == want, "Iceberg-backed pipeline diverged from parquet"
+print("ICEBERG_E2E_OK", len(got))
+"""
+
+
+def test_iceberg_full_pipeline_or_skip():
+    jar = os.environ.get("SPARK_ICEBERG_JAR")
+    if not jar or not Path(jar).exists():
+        pytest.skip("SPARK_ICEBERG_JAR not set — full Iceberg pipeline "
+                    "needs the iceberg-spark-runtime jar")
+    repo = str(Path(__file__).resolve().parents[1])
+    code = _FULL_PIPELINE_RUNNER.format(repo=repo)
+    out = subprocess.run([sys.executable, "-c", code], env=os.environ,
+                         capture_output=True, text=True, timeout=1200)
+    assert "ICEBERG_E2E_OK" in out.stdout, out.stderr[-3000:]

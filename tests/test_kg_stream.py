@@ -128,12 +128,13 @@ def test_live_view_equals_batch_mention_triples(spark, layer_map,
                                                 pages_path, batch_stage2,
                                                 canon_df,
                                                 tmp_path_factory):
+    """Live view WITHOUT linking == batch triples over mentions only."""
     want = materialize.materialize_triples(materialize.evidence(
         mention.mentions_view(batch_stage2), None, canon_df))
 
     canon_map_d = canon_as_dict(spark, layer_map)
     pairs = stream_evidence_pairs(_stream_pages(spark, pages_path),
-                                  layer_map, canon_map_d)
+                                  layer_map, canon_map_d, link=False)
     live = stream_triples_live(pairs)
 
     ckpt = str(tmp_path_factory.mktemp("live_ckpt"))
@@ -156,6 +157,85 @@ def test_live_view_equals_batch_mention_triples(spark, layer_map,
          r["justification"], r["score"])
         for k, r in final.items())
     assert got == _canon_rows(want)
+
+
+def _drain_live(spark, live, ckpt, name):
+    q = (live.writeStream.format("memory").queryName(name)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    final = {}
+    for r in spark.table(name).collect():
+        key = (r["subj"], r["pred"], r["obj"])
+        cur = final.get(key)
+        if cur is None or r["n_sources"] >= cur["n_sources"]:
+            final[key] = r
+    return final
+
+
+def test_live_view_with_links_equals_batch_linked_triples(
+        spark, layer_map, pages_path, batch_stage2, canon_df,
+        tmp_path_factory):
+    """Live view WITH the row-local L2-L5 link pass == batch triples over
+    merged mentions + residual links — on a corpus where the links really
+    change the triple set (asserted), the round-3 residual-link parity."""
+    links = linking.build_links(
+        mention.residue_view(batch_stage2), layer_map)
+    merged, residual = linking.merge_links(
+        mention.mentions_view(batch_stage2), links)
+    want = materialize.materialize_triples(
+        materialize.evidence(merged, residual, canon_df))
+    base = materialize.materialize_triples(materialize.evidence(
+        mention.mentions_view(batch_stage2), None, canon_df))
+    # the corpus must exercise the link pass, else this test proves nothing
+    assert _canon_rows(want) != _canon_rows(base)
+    assert residual.count() > 0
+
+    canon_map_d = canon_as_dict(spark, layer_map)
+    pairs = stream_evidence_pairs(_stream_pages(spark, pages_path),
+                                  layer_map, canon_map_d, link=True)
+    live = stream_triples_live(pairs)
+    final = _drain_live(spark, live, str(tmp_path_factory.mktemp(
+        "live_link_ckpt")), "live_triples_linked")
+    got = sorted(
+        (k[0], k[1], k[2], tuple(r["sources"]), r["n_sources"],
+         r["justification"], r["score"])
+        for k, r in final.items())
+    assert got == _canon_rows(want)
+    assert all(r["replays_detected"] == 0 for r in final.values())
+
+
+def test_live_view_replay_guard(spark, layer_map, pages_path, canon_df,
+                                tmp_path_factory):
+    """A url replayed across micro-batches violates the one-batch-per-url
+    contract: the bounded state detects it (the url is in the k-smallest
+    sample), surfaces replays_detected > 0, and does NOT double-count
+    n_sources."""
+    dup_dir = str(tmp_path_factory.mktemp("kg_pages_dup") / "p")
+    pages = spark.read.parquet(pages_path).limit(8)
+    # the same 8 urls in TWO files -> two triggers see the same urls
+    pages.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    pages.coalesce(1).write.mode("append").parquet(dup_dir)
+
+    canon_map_d = canon_as_dict(spark, layer_map)
+    pairs = stream_evidence_pairs(_stream_pages(spark, dup_dir),
+                                  layer_map, canon_map_d, link=False)
+    live = stream_triples_live(pairs)
+    final = _drain_live(spark, live, str(tmp_path_factory.mktemp(
+        "live_dup_ckpt")), "live_triples_dup")
+
+    want = materialize.materialize_triples(materialize.evidence(
+        mention.detect_mentions(
+            pages.filter(F.col("lang") == "en").select("url", "html"),
+            layer_map, from_html=True)
+        .filter("rec_type = 'mention'").drop("rec_type", "bucket"),
+        None, canon_df))
+    want_n = {(r["subj"], r["pred"], r["obj"]): r["n_sources"]
+              for r in want.collect()}
+    # no double counting despite every url arriving twice...
+    assert {k: r["n_sources"] for k, r in final.items()} == want_n
+    # ...and the violation is surfaced
+    assert any(r["replays_detected"] > 0 for r in final.values())
 
 
 def test_doc_pairs_pure_function(layer_map):

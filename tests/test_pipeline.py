@@ -82,6 +82,25 @@ def test_rerun_without_resume_is_deterministic(spark, layer_map, triples,
     assert a == b
 
 
+def test_linked_write_is_shuffle_free_aligned(pipeline, triples, base_dir):
+    """The linked stage writes WITHOUT a write-side repartition; that is
+    only lossless because pbucket == pmod(murmur3(url), n) == the
+    HashPartitioning partition id, making every task pbucket-pure.  If
+    the alignment breaks, each of the 2*n_buckets tasks sprays files
+    into many dirs — so <= 2 files per dir (one per union branch) IS the
+    alignment proof."""
+    import glob
+    import os
+    dirs = glob.glob(str(base_dir / "linked" / "pbucket=*"))
+    assert dirs
+    for d in dirs:
+        n_files = len(glob.glob(os.path.join(d, "*.parquet")))
+        assert 1 <= n_files <= 2, f"{d}: {n_files} files (misaligned write)"
+    # batch mention stage keeps the pbucket COLUMN but skips the bucketing
+    # shuffle entirely — no partition dirs
+    assert not glob.glob(str(base_dir / "mentions" / "pbucket=*"))
+
+
 def test_fused_extract_mode_identical(spark, layer_map, triples,
                                       tmp_path_factory):
     # fuse_extract runs E1 inside the mention UDF; triples must be

@@ -84,6 +84,29 @@ def test_simhash_near_pairs_recall_guarantee(spark):
     assert sum(1 for c in chunks_equal if not c) == 8
 
 
+@pytest.mark.parametrize("budget", [3, 8])
+def test_simhash_near_pairs_recall_at_budget(spark, budget):
+    """The REAL blocking operator must catch a planted pair at exactly
+    ``budget`` Hamming distance with the flipped bits scattered one per
+    chunk (the adversarial placement for chunk blocking), at both the
+    tuned default (3) and the old wide budget (8)."""
+    from apt_bron_re_spark.operators.dedup import (_chunk_layout,
+                                                   near_pairs_from_sigs)
+
+    layout = _chunk_layout(budget + 1)
+    sig_a = (1 << 60) - 1
+    sig_b = sig_a
+    for off, _w in layout[:budget]:      # flip 1 bit in each of `budget` chunks
+        sig_b ^= (1 << off)
+    sigs = spark.createDataFrame(
+        [(0, sig_a), (1, sig_b), (2, 0)], "doc_id long, simhash60 long")
+    pairs = {(r.a_id, r.b_id): r.hamming
+             for r in near_pairs_from_sigs(sigs, budget).collect()}
+    assert pairs.get((0, 1)) == budget
+    # the all-zeros doc is ~60 bits from both: never a result
+    assert all(k == (0, 1) for k in pairs)
+
+
 def test_ngram_jaccard_verification(spark, docs):
     cands = spark.createDataFrame(
         [(0, 1), (0, 2), (0, 3)], "a_id long, b_id long")
@@ -227,10 +250,17 @@ def test_multimodal_features(spark):
     assert all(again[r.asset_id] == r.payload_sha for r in rows)
 
 
-def test_multimodal_decode_stub_raises(spark):
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_stub(b"x", "image", real_decode=True)
+def test_multimodal_malformed_payload_err_row(spark):
+    """A malformed payload yields an err row, never a task failure."""
+    from pyspark.sql import Row
+    bad = spark.createDataFrame(
+        [Row(asset_id=0, kind="image", payload=b"not a png", meta=None),
+         Row(asset_id=1, kind="audio", payload=b"RIFFxxxx", meta=None)],
+        multimodal.ASSET_SCHEMA)
+    rows = {r.asset_id: r for r in multimodal.asset_features(bad).collect()}
+    assert rows[0].err and "PNG" in rows[0].err
+    assert rows[1].err is not None
+    assert rows[0].feature == [0.0] * multimodal.N_FEATURES
 
 
 def test_frame_sample_plan(spark):
