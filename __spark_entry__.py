@@ -82,15 +82,31 @@ def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
 
     def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feature array -> csv of 4-dp floats for the driver's row hash;
-        # the real operator keeps array<float>.
+        # the real operator keeps array<float>.  SELF-VERIFYING: the
+        # Spark-side decoded features are compared against a pure-python
+        # recompute (make_asset + decode_features, no Spark) and every
+        # row carries ``decode_match`` — the decoders run on REAL
+        # PNG/WAV/raw-video payloads, so this pins content-derived
+        # features, not plumbing shape.
         from pyspark.sql import functions as F
 
-        from apt_bron_re_spark.operators.multimodal import synth_assets, asset_features
-        feats = asset_features(synth_assets(spark, 200))
-        return feats.withColumn(
+        from apt_bron_re_spark.operators.multimodal import (
+            asset_features, decode_features, make_asset, synth_assets)
+
+        n = 200
+        feats = asset_features(synth_assets(spark, n))
+        got = {r["asset_id"]: r["feature"] for r in feats.collect()}
+        ok = all(
+            len(got[i]) == len(want)
+            and all(abs(a - b) < 1e-5 for a, b in zip(got[i], want))
+            for i in range(n)
+            for want in [decode_features(make_asset(i)[2], make_asset(i)[1])]
+        )
+        return (feats.withColumn(
             "feature",
             F.concat_ws(",", F.transform(
                 "feature", lambda x: F.round(x.cast("double"), 4).cast("string"))))
+            .withColumn("decode_match", F.lit(ok)))
 
     return {
         "kg_triples": kg_triples,

@@ -190,9 +190,15 @@ def _bj():
 
 def _attach_justification(agg: DataFrame, ev_sent: DataFrame,
                           bj: str = "bj") -> DataFrame:
-    """One narrow equi-join: triple best-evidence key -> sentence."""
+    """One narrow equi-join: triple best-evidence key -> sentence.
+
+    Pinned to a shuffle join: ev_sent scales with the data (one sentence
+    per doc-entity), and an AQE runtime broadcast of it is a serial
+    driver-side hash build — observed as a bimodal materialize stage
+    (80 s <-> 220 s at 256k pages) before the hint, the same failure
+    class round 2 pinned out of the old pairing self-join."""
     joined = agg.join(
-        ev_sent,
+        ev_sent.hint("shuffle_merge"),
         (F.col(f"{bj}.url") == ev_sent.url)
         & (F.col(f"{bj}.subj_label") == ev_sent.label)
         & (agg.subj == ev_sent.canon_id),
