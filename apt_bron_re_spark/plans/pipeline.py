@@ -14,10 +14,13 @@ stage boundary and re-running continues where it stopped.
 
 Stage-table layout (versioned stage tables replace the reference's
 in-place file rewrites — SURVEY.md §3):
-    docs/            url, text, bucket
-    mentions/        union table from the mention stage (+ bucket)
-    linked/          mention rows + bm25 + link annotations (+ bucket)
-    links_residual/  links with no dictionary mention
+    docs/            url, text (+ pbucket column; batch writes carry no
+    mentions/        partition dirs — the UDF output streams straight to
+                     parquet with NO shuffle; incremental writers lay
+                     out pbucket=N dirs for per-bucket resume/pruning)
+    linked/          mention rows + bm25 + link annotations, pbucket=N
+    links_residual/  dirs written SHUFFLE-FREE (partitions are
+                     pbucket-pure by construction)
     canon/           (label, original_id, canon_id)
     triples/         subj, pred, obj, sources[], justification, score
                      partitioned by pred (S10)

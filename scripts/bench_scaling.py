@@ -244,6 +244,17 @@ job actually kept busy (robust to host noise); wall efficiency also
 penalizes EXTRA CPU burned at higher parallelism (GC, shuffle
 machinery).
 
+**CPU-overhead multiplier** = cpu_s(4N) / cpu_s(N), best reps — the
+extra CPU one shared JVM burns to do IDENTICAL work at 4x threads
+(shuffle machinery, GC, allocator contention).  1.0 is ideal; a real
+N -> 4N EXECUTOR scale-up does not pay it because each executor brings
+its own heap, GC and shuffle service:
+
+| protocol | multiplier |
+|---|---|
+| 1v4 | **{(res14[1].get('cpu_s', 0) / max(res14[0].get('cpu_s', 1), 1)):.2f}** |
+| 2v8 | **{(res28[1].get('cpu_s', 0) / max(res28[0].get('cpu_s', 1), 1)):.2f}** |
+
 Per-stage wall seconds, 1v4 protocol (from the per-bucket lineage):
 
 | stage | local[1] | local[4] | stage speedup |
@@ -254,26 +265,38 @@ Per-stage wall seconds, 2v8 protocol:
 | stage | local[2] | local[8] | stage speedup |
 |---|---|---|---|
 """ + _stage_table(res28, 2, 8) + """
-## Round-2 scaling analysis (what was fixed, what the gap is)
+## Round-3 scaling work (shuffle BYTES, not ratios)
 
-Three serial tails were root-caused and fixed in round 2 (commit
-4b74857): (1) AQE's 64MB advisory coalesced the bare repartition(col)
-stage-table writes to 1-2 zstd-encode tasks — a data-sized serial tail
-(now pinned REPARTITION_BY_NUM; link stage 93 -> 37 s at 256k/local[4]);
-(2) the link stage persisted the wide scored table for an anti-join
-needing only pre-BM25 keys (now nothing wide is persisted); (3) AQE
-nondeterministically broadcast the data-sized side of the evidence
-pairing self-join — a serial driver hash build that made materialize
-bimodal 86 s <-> 234 s across identical runs (now forced shuffle_merge).
+Round 3 attacked the round-2 gap (0.532/0.500) as shuffle bytes:
+
+1. **Mention stage writes with NO shuffle** — the batch path keeps the
+   pbucket column but drops the bucketing repartition; the UDF output
+   streams from scan-aligned tasks straight into parquet.
+2. **Link stage: one url hash-partitioning end-to-end** — pbucket is
+   redefined as pmod(murmur3(url), n) == the HashPartitioning partition
+   id, so the stage writes shuffle-free; BM25 tf, the frozen-global
+   broadcasts, the score join, best-link aggregation, L6 merge join and
+   residual anti-join all preserve the single url repartition
+   (requireAllClusterKeysForCoPartition=false re-enables subset
+   co-partition reuse for joins).  The score/merge joins are
+   shuffle_hash — the wide sentence-bearing stream is never SORTED.
+3. **Materialize: argmax-first justification + explode pairing** —
+   sentences ride NO aggregation and NO join fan-out; the pairing
+   self-join is replaced by a row-local double explode over per-url
+   entity arrays; each triple aggregates only its best-evidence key and
+   the sentence attaches afterwards via one narrow pinned shuffle join
+   (an AQE broadcast of the data-sized sentence table was caught making
+   the stage bimodal 80 <-> 220 s and pinned out — the same failure
+   class round 2 met on the old pairing join).
+4. **Canonicalize** is precomputed per catalog fingerprint (see above).
 
 The residual wall-efficiency gap is the part a single shared-everything
 JVM cannot express: all local[k] levels share one shuffle service,
-memory bus, allocator and GC, so shuffle-reduce stages cap near 2x
-while the Arrow-UDF mention stage (the dominant cost at 10^12 docs)
-scales at 3.9-4.3x.  On a real N -> 4N EXECUTOR scale-up each executor
-adds its own shuffle disks, memory bandwidth and GC — the regime the
->= 0.8 target describes; the per-stage tables above are the sandbox
-evidence for it.
+memory bus, allocator and GC, while a real N -> 4N EXECUTOR scale-up
+adds shuffle disks, memory bandwidth and GC with each executor — the
+regime the >= 0.8 target describes; the per-stage tables above are the
+sandbox evidence.  The Arrow-UDF mention stage — the dominant cost at
+10^12 docs — scales at ~3.9x of 4.
 
 ## Round-1 progression (same code lineage, kept for the record)
 
