@@ -5,15 +5,18 @@ driver's sf0.001 tables; ``queries()``/``oracle_sql()`` expose the operator
 registry in apt_bron_re_spark/queries.py (one entry per operator family
 from SURVEY.md §2 + the training-data-pipeline operators), each verified
 against its DuckDB oracle by tests/test_oracle_parity.py before the driver
-ever sees it.  34 of 36 entries are oracled (including minhash, simhash,
+ever sees it.  34 of 37 entries are oracled (including minhash, simhash,
 fingerprint anchors, multi-table LSH ANN, sampled-centroid IVF ANN,
 embedding-cosine near-dup pairs and recursive-SQL connected components);
-the remaining two (``kg_triples``, ``multimodal_meta``) run
-on synthetic inputs the oracle views cannot see, so they get the driver's
-rows-only check — with array columns projected to strings so the result
-canonicalizer can sort and hash them.  ``kg_triples`` is additionally
-SELF-verifying: it compares its full result against the checked-in
-independent-interpreter gold and stamps every row with ``gold_match``.
+the remaining three (``kg_triples``, ``multimodal_meta``,
+``multimodal_frames``) run on synthetic inputs the oracle views cannot
+see, so they get the driver's rows-only check — with array columns
+projected to strings so the result canonicalizer can sort and hash them —
+but each is SELF-verifying inside the query: ``kg_triples`` compares its
+full result against the checked-in independent-interpreter gold
+(``gold_match``), and the multimodal rows compare their Spark-side
+decoded features against a pure-python recompute (``decode_match`` /
+``frame_match``).
 """
 
 from __future__ import annotations
@@ -108,9 +111,40 @@ def _non_oracle_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
                 "feature", lambda x: F.round(x.cast("double"), 4).cast("string"))))
             .withColumn("decode_match", F.lit(ok)))
 
+    def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Video frame sampling + REAL per-frame decode from the RAWV
+        # container (explode -> join -> Arrow UDF).  SELF-VERIFYING like
+        # multimodal_meta: one sampled frame is re-decoded pure-python
+        # and compared (frame_match).
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from apt_bron_re_spark.operators.multimodal import (
+            frame_features, make_asset, rawv_decode, synth_assets)
+
+        assets = synth_assets(spark, 60)
+        feats = frame_features(assets, every_ms=400)
+        rows = feats.collect()
+        # independent recompute for one (asset, ts): asset_id 2 is the
+        # first video in the deterministic corpus
+        aid, kind, payload, _meta = make_asset(2)
+        w, h, fps, frames = rawv_decode(payload)
+        sample = [r for r in rows if r["asset_id"] == 2][0]
+        idx = min(int(sample["frame_ts_ms"]) * fps // 1000, len(frames) - 1)
+        a = (np.frombuffer(frames[idx], dtype=np.uint8).astype(np.float64)
+             / 255.0)
+        ok = (abs(sample["feature"][4] - float(a.mean())) < 1e-5
+              and abs(sample["feature"][5] - float(a.std())) < 1e-5)
+        return (feats.withColumn(
+            "feature",
+            F.concat_ws(",", F.transform(
+                "feature", lambda x: F.round(x.cast("double"), 4).cast("string"))))
+            .withColumn("frame_match", F.lit(ok)))
+
     return {
         "kg_triples": kg_triples,
         "multimodal_meta": multimodal_meta,
+        "multimodal_frames": multimodal_frames,
     }
 
 
