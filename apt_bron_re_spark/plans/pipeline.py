@@ -184,6 +184,46 @@ class Pipeline:
         self.log.record(stage, fp, out, time.time() - t0)
         return out
 
+    def _run_link_stage(self, fp: str, build, resume: bool = True
+                        ) -> DataFrame:
+        """Link stage runner: writes the linked table and the residual
+        side table as CONCURRENT jobs (the reference's thread-parallel
+        driver, L7/E3, applied at the job level — Spark's FIFO scheduler
+        interleaves their tasks).  The residual job is latency-dominated
+        (narrow anti-join + small write), so overlapping it under the
+        linked write removes a serial tail at higher parallelism while
+        costing nothing at one thread.  The shared ``links`` subplan is
+        persisted by the builder; a cache race at worst duplicates that
+        narrow compute.  The lineage row is recorded only after BOTH
+        writes commit, preserving resume atomicity."""
+        import threading
+
+        if resume and self.log.is_complete("link", fp):
+            return self._read("linked")
+        t0 = time.time()
+        merged, residual = build()
+        err: list[BaseException] = []
+
+        def _res() -> None:
+            try:
+                self._write(residual, "links_residual",
+                            partition_by=["pbucket"], pre_partitioned=True)
+            except BaseException as exc:  # surfaced after join
+                err.append(exc)
+
+        th = threading.Thread(target=_res, name="links-residual-write")
+        th.start()
+        try:
+            self._write(merged, "linked", partition_by=["pbucket"],
+                        pre_partitioned=True)
+        finally:
+            th.join()
+        if err:
+            raise err[0]
+        out = self._read("linked")
+        self.log.record("link", fp, out, time.time() - t0)
+        return out
+
     def _fps(self) -> tuple[str, str, str, str, str]:
         """The stage fingerprint chain (fp0..fp4) for the current config."""
         fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
@@ -313,14 +353,11 @@ class Pipeline:
             merged_s, merged_p, residual = linking.merge_links_split(
                 scored, passthrough, links, mention_keys=keys,
                 passthrough_may_link=may_link)
-            self._write(self._bucketed(residual), "links_residual",
-                        partition_by=["pbucket"], pre_partitioned=True)
-            return self._bucketed(merged_s).unionByName(
+            merged = self._bucketed(merged_s).unionByName(
                 self._bucketed(merged_p))
+            return merged, self._bucketed(residual)
 
-        linked = self._run_stage("link", fp2, build_linked,
-                                 "linked", partition_by=["pbucket"],
-                                 resume=resume, pre_partitioned=True)
+        linked = self._run_link_stage(fp2, build_linked, resume=resume)
         residual = self._read("links_residual")
 
         fp3 = fingerprint(self._catalog_fp, "canonicalize")
