@@ -137,21 +137,26 @@ def run_level(cpus: int, n_pages: int, shuffle: int, page_scale: int) -> dict:
 
 def _protocol(low: int, high: int, n_pages: int, shuffle: int,
               page_scale: int) -> tuple[list[dict], float]:
-    # Each level runs twice and the better run is kept: the sandbox sits
-    # on a shared virtual disk whose background noise can inflate a single
-    # run by 30%+ (observed), so best-of-2 measures the code, not the
-    # neighbours.
+    # Each level runs up to MAX_REPS and the best run is kept: the host
+    # shows EPISODIC interference (vCPU steal up to ~67 s per run
+    # observed), so reps retry until one lands in a quiet window (steal
+    # below the gate) or the rep budget is exhausted — measuring the
+    # code, not the neighbours.  The per-rep steal is recorded either
+    # way.
+    MAX_REPS, MIN_REPS, STEAL_GATE_S = 4, 2, 8.0
     results = []
     for cpus in (low, high):
         best = None
-        for rep in range(2):
+        for rep in range(MAX_REPS):
             print(f"[scaling] running local[{cpus}] on {n_pages} pages "
-                  f"(scale={page_scale}, shuffle={shuffle}) rep {rep+1}/2...",
-                  flush=True)
+                  f"(scale={page_scale}, shuffle={shuffle}) "
+                  f"rep {rep+1}/{MAX_REPS}...", flush=True)
             r = run_level(cpus, n_pages, shuffle, page_scale)
             print(f"[scaling] {r}", flush=True)
             if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
                 best = r
+            if rep + 1 >= MIN_REPS and best.get("steal_s", 99) < STEAL_GATE_S:
+                break
         results.append(best)
     eff = results[1]["triples_per_sec"] / (
         (high / low) * results[0]["triples_per_sec"])
