@@ -7,8 +7,10 @@ UDFs over ``mapInPandas``.  The decoders are pure python + stdlib
 (zlib/struct) so they run anywhere Spark's Python workers run:
 
   * PNG   — full chunk walk (CRC-checked), IHDR parse, zlib IDAT inflate,
-            per-scanline unfilter (all five filter types 0-4);
-  * WAV   — RIFF/WAVE chunk walk, PCM fmt parse, int16 sample extraction;
+            per-scanline unfilter (all five filter types 0-4 per the PNG
+            spec, RFC 2083 §6 / W3C PNG 2nd ed. §9);
+  * WAV   — RIFF/WAVE chunk walk, PCM fmt parse, int16 sample extraction
+            (Microsoft/IBM RIFF WAVE format, fmt chunk layout);
   * RAWV  — a minimal raw-frame video container (magic + n_frames/w/h/fps
             header + concatenated RGB frames), the shape a training-data
             pipeline uses for pre-decoded tensor shards.
