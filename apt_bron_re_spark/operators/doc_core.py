@@ -455,8 +455,8 @@ def _match_technique_ids(text: str, catalog: CompiledCatalog) -> list[dict]:
 
 def _match_cpe_unversioned(text_lower: str,
                            catalog: CompiledCatalog) -> list[dict]:
-    """The *intended* M6 logic (reference basic.py:228-246 with the
-    tokenizer bug fixed: r"\\b\\w+\\b" -> r"\b\w+\b").  Disabled by default
+    r"""The *intended* M6 logic (reference basic.py:228-246 with the
+    tokenizer bug fixed: "\b\w+\b" -> r"\b\w+\b").  Disabled by default
     for fixture parity with the reference's observed (empty) output."""
     filtered = []
     for i, sentence in enumerate(text_lower.splitlines()):

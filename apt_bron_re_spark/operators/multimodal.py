@@ -360,7 +360,10 @@ def asset_features(assets: DataFrame) -> DataFrame:
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (asset, frame_ts) — the
-    explode that precedes the per-frame decode UDF."""
+    logical sample set ``frame_features`` produces rows for.  A PLAN VIEW
+    only: ``frame_features`` does NOT join this back to the payload (that
+    would carry the whole video binary once per sampled frame); it
+    attaches the timestamp LIST per asset and explodes after decode."""
     return (
         assets.filter(F.col("kind") == "video")
         .select(
@@ -376,37 +379,68 @@ FRAME_FEATURE_SCHEMA = T.StructType([
     T.StructField("frame_ts_ms", T.IntegerType(), False),
     T.StructField("frame_sha", T.StringType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    T.StructField("err", T.StringType(), True),
 ])
 
 
 def frame_features(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Per-frame feature extraction: frame-sample plan joined back to the
-    payload, then one Arrow-batched UDF row per (asset, frame).  The frame
-    at each sampled timestamp is REALLY decoded from the RAWV container
-    (index = ts * fps / 1000, clamped); per-frame luminance stats come
-    from the decoded RGB bytes."""
-    plan = frame_sample_plan(assets, every_ms)
-    frames = plan.join(assets.select("asset_id", "payload"), "asset_id")
+    """Per-frame feature extraction with the payload read EXACTLY ONCE per
+    asset: the sampled-timestamp list rides the per-asset row (a sequence
+    column — no explode, no join), the RAWV container is decoded once
+    inside the Arrow-batched UDF, and one output row per sampled frame is
+    emitted from that single decode (index = ts * fps / 1000, clamped).
+    Per-frame luminance stats come from the decoded RGB bytes.
+
+    Scale note: the round-3 shape exploded (asset, frame_ts) and joined
+    the payload back, shipping payload_bytes x frames_per_video through
+    the join — at video scale that dominates the stage.  Here payloads
+    never fan out and never shuffle (same property as asset_features).
+    Malformed payloads yield one err row per sampled timestamp instead of
+    failing the task (asset_features' catch-and-log guard)."""
+    vids = (
+        assets.filter(F.col("kind") == "video")
+        .select(
+            "asset_id", "payload",
+            F.sequence(F.lit(0), F.col("meta.duration_ms"),
+                       F.lit(every_ms)).alias("ts_list"))
+    )
+
+    cols = [f.name for f in FRAME_FEATURE_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for asset_id, ts, payload in zip(
-                    pdf["asset_id"], pdf["frame_ts_ms"], pdf["payload"]):
+            for asset_id, payload, ts_list in zip(
+                    pdf["asset_id"], pdf["payload"], pdf["ts_list"]):
                 raw = bytes(payload) if payload is not None else b""
-                w, h, fps, fr = rawv_decode(raw)
-                idx = min(int(ts) * fps // 1000, len(fr) - 1)
-                frame = fr[idx]
-                a = np.frombuffer(frame, dtype=np.uint8).astype(np.float64) / 255.0
-                rows.append({
-                    "asset_id": int(asset_id),
-                    "frame_ts_ms": int(ts),
-                    "frame_sha": hashlib.sha256(frame).hexdigest(),
-                    "feature": [float(idx), float(w), float(h), float(fps),
-                                float(a.mean()), float(a.std()),
-                                float(a.min()), float(a.max())],
-                })
-            yield pd.DataFrame(rows,
-                               columns=[f.name for f in FRAME_FEATURE_SCHEMA])
+                try:
+                    w, h, fps, fr = rawv_decode(raw)
+                except (ValueError, struct.error) as exc:
+                    err = f"{type(exc).__name__}: {exc}"[:200]
+                    for ts in ts_list:
+                        rows.append({
+                            "asset_id": int(asset_id),
+                            "frame_ts_ms": int(ts),
+                            "frame_sha": "",
+                            "feature": [0.0] * N_FEATURES,
+                            "err": err,
+                        })
+                    continue
+                for ts in ts_list:
+                    idx = min(int(ts) * fps // 1000, len(fr) - 1)
+                    frame = fr[idx]
+                    a = (np.frombuffer(frame, dtype=np.uint8)
+                         .astype(np.float64) / 255.0)
+                    rows.append({
+                        "asset_id": int(asset_id),
+                        "frame_ts_ms": int(ts),
+                        "frame_sha": hashlib.sha256(frame).hexdigest(),
+                        "feature": [float(idx), float(w), float(h),
+                                    float(fps),
+                                    float(a.mean()), float(a.std()),
+                                    float(a.min()), float(a.max())],
+                        "err": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
 
-    return frames.mapInPandas(run, FRAME_FEATURE_SCHEMA)
+    return vids.mapInPandas(run, FRAME_FEATURE_SCHEMA)

@@ -28,6 +28,9 @@ in-place file rewrites — SURVEY.md §3):
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 import time
 from pathlib import Path
 
@@ -38,6 +41,14 @@ from ..config import NER_MATCH_SCORE, SIM_THRESHOLD
 from ..operators import bm25, canonicalize, linking, materialize, mention
 from ..operators.extract import extract_docs
 from .lineage import LineageLog, fingerprint
+
+# Bucket-layout identity of a base_dir.  pbucket was crc32(url) % n in
+# round 2 and pmod(murmur3(url), n) since round 3 — a silent layout change
+# would make per-bucket incremental resume re-process urls whose OLD
+# bucket completed and skip urls that moved into completed buckets
+# (duplicated/missing rows).  A marker file pins the layout at first
+# write; a mismatched resume fails fast instead of mis-bucketing.
+LAYOUT_ID = "pbucket=pmod(murmur3_hash(url),n_buckets)"
 
 
 class Pipeline:
@@ -86,13 +97,37 @@ class Pipeline:
         self.catalog = catalog
         self.log = LineageLog(spark, base_dir)
         self._catalog_fp = fingerprint(layer_map)
+        if not catalog:
+            self._check_layout()
+
+    def _check_layout(self) -> None:
+        """Pin the base_dir's bucket layout (LAYOUT_ID + n_buckets): a
+        resume against a base_dir written under a different layout fails
+        fast instead of silently mixing bucket assignments.  Iceberg-mode
+        skips this — the bucket transform lives in table metadata."""
+        marker = self.base / "_layout.json"
+        want = {"layout": LAYOUT_ID, "n_buckets": self.n_buckets}
+        if marker.exists():
+            got = json.loads(marker.read_text())
+            if got != want:
+                raise RuntimeError(
+                    f"base_dir {self.base} was written with layout {got}, "
+                    f"this build uses {want}; use a fresh base_dir (or "
+                    "matching n_buckets) — resuming would mis-bucket")
+        else:
+            self.base.mkdir(parents=True, exist_ok=True)
+            marker.write_text(json.dumps(want))
 
     def _canon_stage(self, resume: bool = True) -> DataFrame:
-        """Stage 4 with the optional cross-run cache (constructor doc)."""
+        """Stage 4 with the optional cross-run cache (constructor doc).
+        ``resume=False`` (the documented full-recompute path) rebuilds and
+        republishes the cache; cache publication is atomic (write to a
+        temp dir, rename into place) so concurrent pipelines sharing
+        ``canon_cache_dir`` never read a half-written cache."""
         fp3 = fingerprint(self._catalog_fp, "canonicalize")
         if self.canon_cache_dir is not None:
             cache = Path(self.canon_cache_dir) / f"canon_{fp3[:16]}"
-            if (cache / "_SUCCESS").exists():
+            if resume and (cache / "_SUCCESS").exists():
                 if not self.log.is_complete("canonicalize", fp3):
                     t0 = time.time()
                     self._write(self.spark.read.parquet(str(cache)), "canon")
@@ -103,7 +138,18 @@ class Pipeline:
                 "canonicalize", fp3,
                 lambda: canonicalize.canonical_map(self.spark, self.layer_map),
                 "canon", resume=resume)
-            out.write.mode("overwrite").parquet(str(cache))
+            tmp = cache.with_name(
+                f"{cache.name}.tmp-{os.getpid()}-{time.time_ns()}")
+            out.write.mode("overwrite").parquet(str(tmp))
+            try:
+                if cache.exists():
+                    # a concurrent run already published an identical cache
+                    # (content is a pure function of the fingerprint)
+                    shutil.rmtree(str(tmp), ignore_errors=True)
+                else:
+                    tmp.rename(cache)
+            except OSError:
+                shutil.rmtree(str(tmp), ignore_errors=True)
             return out
         return self._run_stage(
             "canonicalize", fp3,
@@ -150,7 +196,8 @@ class Pipeline:
             # zstd parquet encode to 1-2 tasks — a data-sized SERIAL tail
             # that capped the link stage at ~1.3x on 4 cores (measured at
             # 256k pages; the encode is CPU-bound, not IO).  pbucket is
-            # uniform (crc32 % n), so pinning loses no skew handling.
+            # uniform (pmod(murmur3(url), n) — see _bucketed), so pinning
+            # loses no skew handling.
             df = df.repartition(self.n_buckets, F.col("pbucket"))
         elif partition_by:
             # low-cardinality partition columns (pred): ALSO pinned.  A

@@ -223,10 +223,15 @@ class RowLinker:
         self._embed = embed_batch
 
     def _links_for(self, residue: dict) -> dict[tuple, tuple]:
-        """residue {bucket: [values]} -> {(label, oid_l): best link tuple
-        (s, match_type, ner, semantic_score, name, original_id)} under the
-        batch best-link order (semantic over variant, then score, then
-        semantic score, then max ner...)."""
+        """residue {bucket: [values]} -> {(label, oid_l): (best link tuple,
+        max_s)} where the best link follows the batch struct-max order
+        (semantic over variant, then score, then semantic score, then max
+        ner...) and ``max_s`` is max(link_ner_score) over ALL candidates
+        for the key — mirroring batch ``best_links``' SEPARATE
+        ``F.max(link_ner_score)`` aggregate (linking.py:233), which is
+        independent of the struct-max winner: a bucket-matching
+        variant-only candidate (s=1.0) must supply the merged score even
+        when a cross-bucket semantic candidate (s=0.5) wins the struct."""
         cands: dict[tuple, list] = {}
         sem_values = []
         for bucket, values in residue.items():
@@ -260,7 +265,8 @@ class RowLinker:
                     name is not None, name or "",
                     oid is not None, oid or "")
 
-        return {key: max(cs, key=ordkey) for key, cs in cands.items()}
+        return {key: (max(cs, key=ordkey), max(c[1] for c in cs))
+                for key, cs in cands.items()}
 
     def apply(self, results: dict, residue: dict) -> list[tuple]:
         """Fold links into ``results`` IN PLACE (NER_score = max(mention,
@@ -276,12 +282,14 @@ class RowLinker:
                 oid = ent.get("original_id")
                 key = (category, (oid if oid is not None else "").lower())
                 mention_keys.add(key)
-                link = best.get(key)
-                if link is not None:
+                hit = best.get(key)
+                if hit is not None:
+                    # max_s, NOT the winner's s: batch _annotate folds the
+                    # separate F.max(link_ner_score) aggregate
                     ent["NER_score"] = max(
-                        float(ent.get("NER_score", 0.0) or 0.0), link[1])
-        return [(label, link[7], link[1])
-                for (label, oid_l), link in best.items()
+                        float(ent.get("NER_score", 0.0) or 0.0), hit[1])
+        return [(label, winner[7], max_s)
+                for (label, oid_l), (winner, max_s) in best.items()
                 if (label, oid_l) not in mention_keys]
 
 

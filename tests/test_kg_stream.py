@@ -238,6 +238,51 @@ def test_live_view_replay_guard(spark, layer_map, pages_path, canon_df,
     assert any(r["replays_detected"] > 0 for r in final.values())
 
 
+def test_row_linker_score_is_max_over_candidates(spark, layer_map):
+    """RowLinker must report max(link_ner_score) over ALL of a key's
+    candidates — mirroring batch best_links' SEPARATE F.max aggregate —
+    not the struct-max winner's own score.  Planted shape (round-4 advice):
+    residue {'tactic': ['initial_access'], 'others': ['Initial Access']}
+    for TA0001 — the bucket-matching variant candidate scores 1.0 while a
+    cross-bucket semantic candidate can win the struct with s=0.5."""
+    from apt_bron_re_spark.streaming.kg_stream import RowLinker
+
+    residue = {"tactic": ["initial_access"], "others": ["Initial Access"]}
+    url = "https://example.test/p1"
+    residues = spark.createDataFrame(
+        [(url, b, v) for b, vs in residue.items() for v in vs],
+        "url string, bucket string, value string")
+
+    links = linking.build_links(residues, layer_map)
+    best = linking.best_links(links)
+    empty_keys = spark.createDataFrame(
+        [], "url string, category string, oid_l string")
+    batch_residuals = {
+        (r["category"], r["original_id"]): r["ner_score"]
+        for r in linking._residuals(best, empty_keys).collect()}
+
+    linker = RowLinker(layer_map)
+    stream_residuals = {(label, oid): score
+                       for (label, oid, score) in linker.apply({}, residue)}
+    assert stream_residuals == batch_residuals
+
+    # the planted shape must actually exercise the divergence: some key's
+    # struct winner carries a lower s than the key's max(s)
+    diverging = [key for key, (winner, max_s) in
+                 linker._links_for(residue).items() if winner[1] < max_s]
+    assert diverging, "corpus no longer exercises winner-s < max-s"
+
+    # mention-fold side: a mention on a diverging key takes max(s), the
+    # batch _annotate rule
+    label, oid_l = diverging[0]
+    winner, max_s = linker._links_for(residue)[(label, oid_l)]
+    results = {label: [{"original_id": winner[7], "NER_score": 0.1,
+                        "sentence": "s"}]}
+    linker.apply(results, residue)
+    assert results[label][0]["NER_score"] == max_s
+    assert max_s > winner[1]
+
+
 def test_doc_pairs_pure_function(layer_map):
     """_doc_pairs folds per-url maxima associatively: planted two-entry
     case with a tie on score resolved by sentence order (Spark struct-max

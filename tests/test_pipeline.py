@@ -116,3 +116,66 @@ def test_fused_extract_mode_identical(spark, layer_map, triples,
     # and the docs table was never written
     import os
     assert not os.path.exists(str(base3 / "docs"))
+
+
+def test_layout_marker_fails_fast_on_mismatch(spark, layer_map,
+                                              tmp_path_factory):
+    """A base_dir written under a different bucket layout (or n_buckets)
+    must fail fast at construction — silent resume would mis-bucket
+    (round-4 advice: the crc32 -> murmur3 pbucket change)."""
+    import json
+
+    base = tmp_path_factory.mktemp("layout_base")
+    Pipeline(spark, layer_map, base, n_buckets=8)
+    # same layout + same n: fine
+    Pipeline(spark, layer_map, base, n_buckets=8)
+    with pytest.raises(RuntimeError, match="mis-bucket"):
+        Pipeline(spark, layer_map, base, n_buckets=16)
+    # simulate a pre-round-3 crc32 base_dir
+    (base / "_layout.json").write_text(json.dumps(
+        {"layout": "pbucket=crc32(url)%n_buckets", "n_buckets": 8}))
+    with pytest.raises(RuntimeError, match="mis-bucket"):
+        Pipeline(spark, layer_map, base, n_buckets=8)
+
+
+def test_canon_cache_honors_resume_false(spark, layer_map,
+                                         tmp_path_factory):
+    """resume=False rebuilds the canonical map even when a canon cache
+    exists, and republishes the cache (round-4 advice: the full-recompute
+    path previously short-circuited to the cached parquet)."""
+    cache_root = tmp_path_factory.mktemp("canon_cache")
+    base = tmp_path_factory.mktemp("canon_base")
+    pipe = Pipeline(spark, layer_map, base, n_buckets=8,
+                    canon_cache_dir=cache_root)
+    want = {(r.label, r.original_id, r.canon_id)
+            for r in pipe._canon_stage().collect()}
+
+    # poison the published cache: a stale/corrupt entry under the same
+    # fingerprint (simulates a concurrent half-state or operator edit)
+    import glob
+    cache_dir = glob.glob(str(cache_root / "canon_*"))[0]
+    spark.createDataFrame(
+        [("group", "BOGUS", "BOGUS")],
+        "label string, original_id string, canon_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(cache_dir)
+    poisoned = {(r.label, r.original_id, r.canon_id)
+                for r in spark.read.parquet(cache_dir).collect()}
+    assert poisoned != want
+
+    pipe2 = Pipeline(spark, layer_map, tmp_path_factory.mktemp("canon_b2"),
+                     n_buckets=8, canon_cache_dir=cache_root)
+    got = {(r.label, r.original_id, r.canon_id)
+           for r in pipe2._canon_stage(resume=False).collect()}
+    assert got == want
+    # resume=True on a fresh pipeline still uses the (re-valid) cache fast
+    # path; the poisoned cache was NOT republished over (cache existed),
+    # so the fast path is only safe after an explicit rebuild republishes
+    # it — delete + rebuild republishes atomically
+    import shutil
+    shutil.rmtree(cache_dir)
+    pipe3 = Pipeline(spark, layer_map, tmp_path_factory.mktemp("canon_b3"),
+                     n_buckets=8, canon_cache_dir=cache_root)
+    pipe3._canon_stage(resume=False)
+    republished = {(r.label, r.original_id, r.canon_id)
+                   for r in spark.read.parquet(cache_dir).collect()}
+    assert republished == want

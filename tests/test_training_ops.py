@@ -285,6 +285,46 @@ def test_frame_features(spark):
     assert again == shas
 
 
+def test_frame_features_reads_payload_once(spark):
+    """Payload-read-once pin (round-4): the frame_features plan must carry
+    the payload on the per-asset row (timestamp LIST attached) — no join
+    or explode fans the video binary out per sampled frame.  Planted
+    many-frame asset: one 40-frame video still yields one UDF input row."""
+    frames = [multimodal._byte_stream(f"mf-{i}", 4 * 2 * 3)
+              for i in range(40)]
+    payload = multimodal.rawv_encode(frames, 4, 2, fps=10)
+    from pyspark.sql import Row
+    assets = spark.createDataFrame(
+        [Row(asset_id=0, kind="video", payload=payload,
+             meta=Row(width=4, height=2, duration_ms=4000,
+                      mime="video/x-raw"))],
+        multimodal.ASSET_SCHEMA)
+    feats = multimodal.frame_features(assets, every_ms=100)
+    plan = feats._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Explode" not in plan
+    rows = feats.collect()
+    # 41 sampled frames (0..4000 step 100), all decoded from ONE payload row
+    assert len(rows) == 41
+    assert all(r.err is None and len(r.feature) == 8 for r in rows)
+    # frame indices really differ across timestamps (true per-frame decode)
+    assert len({r.frame_sha for r in rows}) == 40
+
+
+def test_frame_features_malformed_payload_err_rows(spark):
+    """One bad video payload yields err rows (one per sampled timestamp),
+    never a task failure — the asset_features guard, now on frames too."""
+    from pyspark.sql import Row
+    assets = spark.createDataFrame(
+        [Row(asset_id=5, kind="video", payload=b"RAWVgarbage",
+             meta=Row(width=4, height=2, duration_ms=2000,
+                      mime="video/x-raw"))],
+        multimodal.ASSET_SCHEMA)
+    rows = multimodal.frame_features(assets, every_ms=1000).collect()
+    assert len(rows) == 3          # ts 0, 1000, 2000
+    assert all(r.err and r.feature == [0.0] * multimodal.N_FEATURES
+               for r in rows)
+
+
 def test_ivf_assign_matches_numpy_argmax(spark):
     """Property pin: ivf_assign == numpy integer-IP argmax with the
     smallest-centroid-id tie rule, on random vectors."""
