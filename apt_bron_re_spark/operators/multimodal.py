@@ -274,6 +274,16 @@ def decode_features(payload: bytes, kind: str) -> list[float]:
     raise ValueError(f"unknown kind {kind!r}")
 
 
+def feature_csv(feature) -> str:
+    """Deterministic 4-dp csv of a float32 feature vector — the CONTRACT
+    surface shared by the driver queries and the pure-python gold
+    generator (scripts/gen_multimodal_gold.py).  Values pass through
+    float32 first (the array<float> storage type Arrow applies on the
+    Spark side) so the driver-collected floats and the pure-python
+    recompute format to identical strings."""
+    return ",".join(repr(round(float(np.float32(x)), 4)) for x in feature)
+
+
 # --------------------------------------------------------------------------
 # synthetic asset source (REAL payloads, deterministic)
 # --------------------------------------------------------------------------

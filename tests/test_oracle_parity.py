@@ -53,3 +53,26 @@ def test_query_matches_oracle(spark, duck, name):
     if got != want:
         diffs = [(g, w) for g, w in zip(got, want) if g != w][:3]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+GOLD_ORACLED = ["multimodal_meta", "multimodal_frames", "kg_triples"]
+
+
+@pytest.mark.parametrize("name", GOLD_ORACLED)
+def test_gold_oracled_rows_match(spark, name):
+    """The three synthetic-input driver rows are oracled against
+    checked-in gold parquet (round-4): replicate the driver compare —
+    Spark query vs DuckDB read_parquet of the fixture — value-exact."""
+    import importlib.util as iu
+    spec = iu.spec_from_file_location(
+        "entry_mod", os.path.join(os.path.dirname(__file__), "..",
+                                  "__spark_entry__.py"))
+    m = iu.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs, oracles = m.queries(), m.oracle_sql()
+    got = normalize(qs[name](spark, SF_DIR).toPandas())
+    want = normalize(duckdb.sql(oracles[name]).df())
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    if got != want:
+        diffs = [(g, w) for g, w in zip(got, want) if g != w][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
