@@ -61,6 +61,15 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _steal_s() -> float | None:
+    """Accumulated host vCPU-steal seconds (None when unreadable)."""
+    try:
+        return int(open("/proc/stat").readline().split()[8]) / os.sysconf(
+            "SC_CLK_TCK")
+    except Exception:
+        return None
+
+
 def run_kg_pipeline(spark, sf: float, workdir: str) -> tuple[float, int]:
     """Returns (wall seconds, triples emitted)."""
     from apt_bron_re_spark.catalog.synthetic import build_layer_map
@@ -103,11 +112,35 @@ def main() -> None:
         force(SPARK_QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    workdir = tempfile.mkdtemp(prefix="bench_kg_")
-    try:
-        kg_wall, n_triples = run_kg_pipeline(spark, sf, workdir)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    # Steal-gated rep retry (the bench_scaling protocol, round-4 verdict
+    # #1a): the host shows EPISODIC vCPU steal (4,892 s landed inside one
+    # recorded round-3 bracket and inflated the headline 46%), so the
+    # headline kg_pipeline reps until one lands in a quiet window (steal
+    # below the gate) or the rep budget is exhausted; the BEST wall is
+    # recorded along with every rep's steal bracket — measuring the code,
+    # not the neighbours, with the noise evidence in the artifact.
+    MAX_REPS, MIN_REPS, STEAL_GATE_S = 4, 2, 8.0
+    kg_reps: list[dict] = []
+    kg_wall, n_triples = None, 0
+    for _rep in range(MAX_REPS):
+        workdir = tempfile.mkdtemp(prefix="bench_kg_")
+        s0 = _steal_s()
+        try:
+            wall, n = run_kg_pipeline(spark, sf, workdir)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+        s1 = _steal_s()
+        rep_steal = (round(s1 - s0, 1)
+                     if s0 is not None and s1 is not None else None)
+        kg_reps.append({"wall_s": round(wall, 3), "steal_s": rep_steal})
+        if kg_wall is None or wall < kg_wall:
+            kg_wall, n_triples = wall, n
+        # min 2 reps (first carries stage-codepath warmup), then stop on
+        # the first quiet window; unreadable steal keeps old single-rep
+        # behavior beyond the minimum
+        if _rep + 1 >= MIN_REPS and (rep_steal is None
+                                     or rep_steal < STEAL_GATE_S):
+            break
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     triples_per_sec = round(n_triples / kg_wall, 2) if kg_wall > 0 else 0.0
@@ -130,6 +163,7 @@ def main() -> None:
         "n_triples": n_triples,
         "loadavg_end": load1,
         "steal_total_s": steal_s,
+        "kg_reps": kg_reps,
     }))
 
 
