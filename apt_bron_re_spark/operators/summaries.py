@@ -75,6 +75,52 @@ def bm25_statistics(scored: DataFrame, threshold: float = 1.0) -> DataFrame:
     return stats.withColumn("rank_in_category", F.row_number().over(w))
 
 
+def alias_coverage(docs: DataFrame, alias_catalog: DataFrame,
+                   sep: str = " ") -> DataFrame:
+    """Alias-coverage diagnostic — the analog of the reference's
+    group/alias comparison harness (tests/compare_groups_and_aliases.py:
+    65-104): per document, the number of DISTINCT groups hit via their
+    name, via MITRE aliases and via Malpedia aliases, plus the
+    alias-without-name flag (1 when some group matched ONLY through its
+    aliases — the signal the reference harness surfaces per report).
+
+    ``docs``: (doc_id, text); ``alias_catalog``: (grp, kind, term) with
+    kind in {name, mitre, malpedia} — catalog-sized, broadcast.  Every
+    document gets a row (the reference writes a summary entry per file),
+    zero counts included.
+
+    Scale notes: one broadcast token join + two partial-agged groupBys;
+    the distinct() before the per-group rollup bounds the shuffle at one
+    row per (doc, group, kind)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), sep)).alias("token"))
+    hits = (toks.join(F.broadcast(alias_catalog),
+                      toks.token == alias_catalog.term)
+            .select("doc_id", "grp", "kind").distinct())
+    per_group = hits.groupBy("doc_id", "grp").agg(
+        F.max((F.col("kind") == "name").cast("int")).alias("name_hit"),
+        F.max((F.col("kind") == "mitre").cast("int")).alias("mitre_hit"),
+        F.max((F.col("kind") == "malpedia").cast("int")).alias("malpedia_hit"))
+    per_doc = per_group.groupBy("doc_id").agg(
+        F.sum("name_hit").cast("long").alias("group_name_hits"),
+        F.sum("mitre_hit").cast("long").alias("mitre_alias_hits"),
+        F.sum("malpedia_hit").cast("long").alias("malpedia_alias_hits"),
+        F.max(F.when(((F.col("mitre_hit") + F.col("malpedia_hit")) > 0)
+                     & (F.col("name_hit") == 0), 1).otherwise(0))
+         .cast("long").alias("alias_without_name"))
+    return (docs.select("doc_id").distinct()
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("group_name_hits", F.lit(0))
+                     .alias("group_name_hits"),
+                    F.coalesce("mitre_alias_hits", F.lit(0))
+                     .alias("mitre_alias_hits"),
+                    F.coalesce("malpedia_alias_hits", F.lit(0))
+                     .alias("malpedia_alias_hits"),
+                    F.coalesce("alias_without_name", F.lit(0))
+                     .alias("alias_without_name")))
+
+
 def ablation_differences(mentions_a: DataFrame, mentions_b: DataFrame
                          ) -> DataFrame:
     """A9 (summary_funcs.py:66-115): per (url, category), entity ids only

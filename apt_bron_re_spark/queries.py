@@ -511,6 +511,37 @@ def q_problematic_terms(spark, sf_dir):
     )
 
 
+# Alias-coverage diagnostic catalog (reference tests/
+# compare_groups_and_aliases.py): synthetic groups whose name / MITRE /
+# Malpedia alias terms are drawn from the corpus vocabulary.  APT-DUP's
+# name ("dup", ~5% of docs) is much rarer than its Malpedia alias
+# ("filter", ~77%), so the alias-without-name flag fires on real rows.
+ALIAS_CATALOG = [
+    ("APT-SPARK", "name", "spark"),
+    ("APT-SPARK", "mitre", "merge"),
+    ("APT-SPARK", "malpedia", "vector"),
+    ("APT-JOIN", "name", "join"),
+    ("APT-JOIN", "mitre", "hash"),
+    ("APT-JOIN", "malpedia", "window"),
+    ("APT-STREAM", "name", "stream"),
+    ("APT-STREAM", "mitre", "batch"),
+    ("APT-DUP", "name", "dup"),
+    ("APT-DUP", "malpedia", "filter"),
+]
+
+
+def q_alias_coverage(spark, sf_dir):
+    """Alias-coverage diagnostic (reference tests/
+    compare_groups_and_aliases.py:65-104): per document, distinct groups
+    hit via name vs MITRE vs Malpedia alias terms + the
+    alias-without-name flag."""
+    from .operators.summaries import alias_coverage
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cat = spark.createDataFrame(ALIAS_CATALOG,
+                                "grp string, kind string, term string")
+    return alias_coverage(docs, cat)
+
+
 def q_bm25_stats(spark, sf_dir):
     """A8 (summaries.bm25_statistics shape): per-term mean/stddev +
     above/below-threshold counts, ranked by mean score."""
@@ -1076,4 +1107,40 @@ SPARK_QUERIES = {
     "bm25_rank": q_bm25_rank,
     "problematic_terms": q_problematic_terms,
     "bm25_stats": q_bm25_stats,
+    "alias_coverage": q_alias_coverage,
 }
+
+_ALIAS_CAT_SQL = ", ".join(f"('{g}', '{k}', '{t}')"
+                           for g, k, t in ALIAS_CATALOG)
+
+ORACLES["alias_coverage"] = f"""
+    WITH {_TOK_CTE},
+    cat(grp, kind, term) AS (VALUES {_ALIAS_CAT_SQL}),
+    hits AS (
+      SELECT DISTINCT doc_id, grp, kind
+      FROM tok JOIN cat ON tok.token = cat.term),
+    per_group AS (
+      SELECT doc_id, grp,
+             MAX(CASE WHEN kind = 'name' THEN 1 ELSE 0 END) AS name_hit,
+             MAX(CASE WHEN kind = 'mitre' THEN 1 ELSE 0 END) AS mitre_hit,
+             MAX(CASE WHEN kind = 'malpedia' THEN 1 ELSE 0 END)
+               AS malpedia_hit
+      FROM hits GROUP BY doc_id, grp),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(name_hit) AS group_name_hits,
+             SUM(mitre_hit) AS mitre_alias_hits,
+             SUM(malpedia_hit) AS malpedia_alias_hits,
+             MAX(CASE WHEN mitre_hit + malpedia_hit > 0 AND name_hit = 0
+                 THEN 1 ELSE 0 END) AS alias_without_name
+      FROM per_group GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(group_name_hits, 0) AS BIGINT) AS group_name_hits,
+           CAST(COALESCE(mitre_alias_hits, 0) AS BIGINT) AS mitre_alias_hits,
+           CAST(COALESCE(malpedia_alias_hits, 0) AS BIGINT)
+             AS malpedia_alias_hits,
+           CAST(COALESCE(alias_without_name, 0) AS BIGINT)
+             AS alias_without_name
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc USING (doc_id)
+"""
