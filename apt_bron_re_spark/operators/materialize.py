@@ -93,24 +93,46 @@ def evidence(mentions_linked: DataFrame,
     m = evidence_rows(mentions_linked, residual_links, canon)
     if partitions:
         m = m.repartition(partitions, F.col("url"))
-    return (
+    agg = (
         m.groupBy("url", "label", "canon_id")
         .agg(F.max("score").alias("score"),
              F.max(F.struct(F.col("score").alias("s"), "sentence"))
-              .getField("sentence").alias("sentence"))
+              .alias("_mx"),
+             # ObjectHashAggregate flip — see _evidence_sentences
+             F.collect_set(F.lit(1)).alias("_ohash"))
     )
+    return agg.select(
+        "url", "label", "canon_id", "score",
+        F.when(F.size("_ohash") > 0, F.col("_mx.sentence"))
+         .alias("sentence"))
 
 
 def _evidence_sentences(ev: DataFrame) -> DataFrame:
     """(url, label, canon_id, sentence): the argmax-score sentence per
     evidence key (ties: max sentence string; null sorts lowest).  A plain
     partial+final aggregation — the shuffle carries at most one sentence
-    per (key, map task)."""
-    return (
+    per (key, map task).
+
+    The ``_ohash`` companion aggregate exists ONLY to flip the physical
+    aggregation from SortAggregate to ObjectHashAggregate: Spark hashes
+    only primitive-buffer aggregates, so a bare max(struct(double,
+    string)) SORT-aggregates — a full sort of the sentence-bearing scan
+    that profiling showed anti-scaling (round-4).  A TypedImperative
+    aggregate in the group (collect_set of a constant: one tiny set per
+    key) makes the planner pick ObjectHashAggregateExec for the whole
+    group — hash-based, no sort, identical results.  The output must
+    REFERENCE the companion (a non-foldable always-true guard) or column
+    pruning deletes it and the sort returns."""
+    agg = (
         ev.groupBy("url", "label", "canon_id")
         .agg(F.max(F.struct(F.col("score").alias("s"), "sentence"))
-              .getField("sentence").alias("sentence"))
+              .alias("_mx"),
+             F.collect_set(F.lit(1)).alias("_ohash"))
     )
+    return agg.select(
+        "url", "label", "canon_id",
+        F.when(F.size("_ohash") > 0, F.col("_mx.sentence"))
+         .alias("sentence"))
 
 
 def _narrow_evidence(ev: DataFrame, partitions: int | None) -> DataFrame:
@@ -126,11 +148,21 @@ def _narrow_evidence(ev: DataFrame, partitions: int | None) -> DataFrame:
         # exchange-free on this single narrow shuffle (ReuseExchange
         # collapses the two identical branches to one physical exchange).
         m = m.repartition(partitions, F.col("url"))
+    # has_sentence = "the argmax-score row carries a sentence", expressed
+    # as two PRIMITIVE maxes (max score overall vs max score among
+    # sentence rows) instead of max(struct(score, has_s)): a struct
+    # aggregation buffer forces SortAggregate (full sort of the evidence
+    # table — round-4 profiling), while double-buffer maxes whole-stage
+    # HashAggregate.  Equivalent by case analysis: the struct max picks
+    # has_s=true iff some max-score row has a sentence iff
+    # max(score | has_s) == max(score).
     return (
         m.groupBy("url", "label", "canon_id")
         .agg(F.max("score").alias("score"),
-             F.max(F.struct(F.col("score").alias("s"), "has_s"))
-              .getField("has_s").alias("has_sentence"))
+             F.coalesce(
+                 F.max(F.when(F.col("has_s"), F.col("score")))
+                 >= F.max("score"),
+                 F.lit(False)).alias("has_sentence"))
     )
 
 
@@ -196,9 +228,13 @@ def _attach_justification(agg: DataFrame, ev_sent: DataFrame,
     per doc-entity), and an AQE runtime broadcast of it is a serial
     driver-side hash build — observed as a bimodal materialize stage
     (80 s <-> 220 s at 256k pages) before the hint, the same failure
-    class round 2 pinned out of the old pairing self-join."""
-    joined = agg.join(
-        ev_sent.hint("shuffle_merge"),
+    class round 2 pinned out of the old pairing self-join.  shuffle_HASH
+    with the triple side as build (round 4; was shuffle_merge): the
+    aggregated triple side is catalog-bounded (subj/obj are canonical
+    catalog ids) while ev_sent is data-sized — hashing the small side
+    skips sorting BOTH shuffled streams."""
+    joined = agg.hint("shuffle_hash").join(
+        ev_sent,
         (F.col(f"{bj}.url") == ev_sent.url)
         & (F.col(f"{bj}.subj_label") == ev_sent.label)
         & (agg.subj == ev_sent.canon_id),
