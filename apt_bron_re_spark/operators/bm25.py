@@ -162,8 +162,11 @@ def add_bm25_frozen_split(mentions: DataFrame, dls: DataFrame,
           .groupBy("category", "url", "bm25_key")
           .agg(F.count("*").alias("f")))
     score_table = (
+        # dl attach is shuffle_hash too (round 4): both sides are narrow
+        # and url-co-partitioned (zero exchange either way), but SMJ would
+        # SORT both streams; hashing the one-row-per-url dl side is free.
         tf.join(F.broadcast(df_table), ["category", "bm25_key"])
-        .join(dls, ["url"], "left")
+        .join(dls.hint("shuffle_hash"), ["url"], "left")
         .crossJoin(F.broadcast(stats))
         .withColumn("dl", F.coalesce(F.col("dl"), F.col("avgdl")))
         .withColumn(

@@ -224,7 +224,13 @@ def best_links(links: DataFrame) -> DataFrame:
     higher ner_score, then higher semantic_score, then max ner.
 
     Partitioning: the groupBy keys include url, so a url-hash-partitioned
-    ``links`` input aggregates exchange-free."""
+    ``links`` input aggregates exchange-free.
+
+    The ``_ohash`` companion aggregate flips the struct-max from
+    SortAggregate (string-bearing buffers don't hash; the links table
+    would be SORTED) to ObjectHashAggregateExec — see
+    materialize._evidence_sentences for the mechanism; one output column
+    must reference it or pruning deletes it."""
     best = (
         links
         .withColumn("oid_l", F.lower(F.coalesce("original_id", F.lit(""))))
@@ -241,10 +247,12 @@ def best_links(links: DataFrame) -> DataFrame:
                 F.col("name"),
                 F.col("original_id"),
             )).alias("bestl"),
+            F.collect_set(F.lit(1)).alias("_ohash"),
         )
         .select(
             "url", "category", "oid_l", "link_ner_score",
-            F.col("bestl.ner").alias("link_ner"),
+            F.when(F.size("_ohash") > 0, F.col("bestl.ner"))
+             .alias("link_ner"),
             F.col("bestl.match_type").alias("link_match_type"),
             F.col("bestl.semantic_score").alias("link_semantic_score"),
             F.col("bestl.name").alias("link_name"),
@@ -281,8 +289,11 @@ def _annotate(mentions: DataFrame, best: DataFrame) -> DataFrame:
 
 
 def _residuals(best: DataFrame, mention_keys: DataFrame) -> DataFrame:
+    # shuffle_hash anti-join (round 4): both sides narrow and
+    # url-partitioned; SMJ would sort both — hashing the distinct
+    # mention-key side (the anti build) removes the sorts.
     return (
-        best.join(mention_keys,
+        best.join(mention_keys.hint("shuffle_hash"),
                   ["url", "category", "oid_l"], "left_anti")
         .select(
             "url", "category",
