@@ -270,6 +270,28 @@ Per-stage wall seconds, 2v8 protocol:
 | stage | local[2] | local[8] | stage speedup |
 |---|---|---|---|
 """ + _stage_table(res28, 2, 8) + """
+## Round-4 scaling work (sort removal + job overlap)
+
+1. **Sort-free materialize**: profiling (scripts/profile_materialize.py)
+   showed the stage's flat tail was SortAggregate — Spark hash-aggregates
+   only primitive buffers, so max(struct(...)) SORTED the full evidence
+   table in both branches and the justification-attach SortMergeJoin
+   sorted both streams.  has_sentence became two primitive maxes
+   (HashAggregate); the argmax-sentence aggs carry a collect_set(lit(1))
+   companion that flips the planner to ObjectHashAggregate; the attach
+   join hashes on the catalog-bounded triple side.  Plan: 0 Sorts
+   (was 4 + SMJ); clean-window local[4] stage wall 39.3 -> 29.5 s.
+2. **Sort-free link stage**: same fix for best_links (ObjectHash flip),
+   the BM25 dl-attach join and the residual anti-join (shuffle_hash).
+3. **Job-overlap link writes** (landed post-record in round 3, first
+   measured here): the linked and residual tables write as CONCURRENT
+   jobs — the residual job's fixed latencies overlap under the linked
+   write at 4N, a no-op at N=1.
+4. Sorts matter for SCALING more than raw speed: single-thread sorts of
+   32 small partitions are cheap (local[1] barely moved), but at 4
+   threads they contend on memory bandwidth in one shared JVM — removal
+   shows up as efficiency, not local[1] wall.
+
 ## Round-3 scaling work (shuffle BYTES, not ratios)
 
 Round 3 attacked the round-2 gap (0.532/0.500) as shuffle bytes:
