@@ -97,10 +97,25 @@ def _host_noise():
         pass
     return load1, steal
 
+def _host_busy():
+    # whole-host busy CPU seconds (user+nice+sys+irq+softirq): on a quiet
+    # box this is ground truth for the job's CPU and cross-checks the
+    # tree accounting (verified equal within 1% in a controlled run)
+    f = open("/proc/stat").readline().split()
+    return (int(f[1]) + int(f[2]) + int(f[3]) + int(f[6])
+            + int(f[7])) / os.sysconf("SC_CLK_TCK")
+
 load_in, steal_in = _host_noise()
-cpu0 = _cpu_tree_seconds()
+cpu0, hb0 = _cpu_tree_seconds(), _host_busy()
 t0 = time.time()
-triples = pipe.run(pages, resume=False)
+# resume=True, NOT False: the stage dir is a fresh mkdtemp (no lineage),
+# so every corpus stage builds from scratch either way — but only
+# resume=True lets the canonicalize stage hit the canon_cache_dir warmed
+# above, keeping the catalog-derived dimension build OUT of the timed
+# span as this protocol documents.  (resume=False now forces a canon
+# rebuild by design — an ADVICE r3 fix — which had silently re-included
+# the flat 8-30 s catalog term in both levels of the ratio.)
+triples = pipe.run(pages, resume=True)
 n = triples.count()
 wall = time.time() - t0
 load_out, steal_out = _host_noise()
@@ -108,12 +123,14 @@ load_out, steal_out = _host_noise()
 # noise-robust evidence of achieved parallelism (cpu_s / wall), where
 # wall-clock ratios swing +-25% with shared-host scheduling
 cpu_s = _cpu_tree_seconds() - cpu0
+host_cpu_s = _host_busy() - hb0
 stages = {{r.stage: round(r.wall_s, 1)
            for r in pipe.log.metrics().filter("bucket = -1").collect()}}
 import shutil
 shutil.rmtree(td, ignore_errors=True)
 print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_s": round(wall, 2),
                                "cpu_s": round(cpu_s, 1),
+                               "host_cpu_s": round(host_cpu_s, 1),
                                "par": round(cpu_s / wall, 2),
                                "n_triples": n,
                                "triples_per_sec": round(n / wall, 2),
