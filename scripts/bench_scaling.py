@@ -121,7 +121,16 @@ wall = time.time() - t0
 load_out, steal_out = _host_noise()
 # CPU seconds burned by the JVM + Python workers during the timed span:
 # noise-robust evidence of achieved parallelism (cpu_s / wall), where
-# wall-clock ratios swing +-25% with shared-host scheduling
+# wall-clock ratios swing +-25% with shared-host scheduling.
+#
+# cpu_s (process-tree walk) UNDER-COUNTS dead Python workers: the pyspark
+# daemon sets SIGCHLD to SIG_IGN (pyspark/daemon.py:155), so culled
+# workers are kernel-auto-reaped and their CPU never lands in anyone's
+# cutime — on long runs the mention stage's worker CPU largely vanishes
+# from the tree.  host_cpu_s (whole-host busy delta) is the honest
+# measure on a quiet box (background burn here is ~1-2% of a core); par
+# is computed from it.  The tree figure is kept as tree_cpu_s for
+# reference (it is exact for the JVM + still-live workers).
 cpu_s = _cpu_tree_seconds() - cpu0
 host_cpu_s = _host_busy() - hb0
 stages = {{r.stage: round(r.wall_s, 1)
@@ -129,9 +138,10 @@ stages = {{r.stage: round(r.wall_s, 1)
 import shutil
 shutil.rmtree(td, ignore_errors=True)
 print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_s": round(wall, 2),
-                               "cpu_s": round(cpu_s, 1),
+                               "tree_cpu_s": round(cpu_s, 1),
+                               "cpu_s": round(host_cpu_s, 1),
                                "host_cpu_s": round(host_cpu_s, 1),
-                               "par": round(cpu_s / wall, 2),
+                               "par": round(host_cpu_s / wall, 2),
                                "n_triples": n,
                                "triples_per_sec": round(n / wall, 2),
                                "n_pages": {n_pages}, "stages": stages,
@@ -265,6 +275,15 @@ Read the two columns together: CPU parallelism shows how many cores the
 job actually kept busy (robust to host noise); wall efficiency also
 penalizes EXTRA CPU burned at higher parallelism (GC, shuffle
 machinery).
+
+CPU seconds are the WHOLE-HOST busy delta over the rep (user+nice+sys+
+irq+softirq), not a process-tree walk: the pyspark daemon sets SIGCHLD
+to SIG_IGN (pyspark/daemon.py:155), so culled Python workers are
+kernel-auto-reaped and a tree walk silently loses every dead worker's
+CPU — discovered in round 4; CPU columns in earlier rounds' records
+carry that under-count.  On a quiet host the busy delta is ground truth
+to within the ~1-2% background burn (per-rep steal/loadavg brackets in
+the rep logs say how quiet each window was).
 
 **CPU-overhead multiplier** = cpu_s(4N) / cpu_s(N), best reps — the
 extra CPU one shared JVM burns to do IDENTICAL work at 4x threads
