@@ -489,6 +489,33 @@ def q_near_dup_pipeline(spark, sf_dir):
     return ngram_jaccard_pairs(docs, cands, threshold=0.8)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Dedup CLUSTERING — the full production near-dup decision: LSH
+    candidates (minhash_candidates) -> exact word-set Jaccard >= 0.8
+    verify (ngram_jaccard_pairs) -> connected components over the
+    verified-pair graph (canonicalize.connected_components) -> one
+    canonical representative per cluster (min doc_id; every other member
+    is a drop candidate).  Output: (doc_id, cluster_id,
+    is_representative) for every doc in at least one verified pair.
+
+    Scale notes: candidates are LSH-bucketed (never all-pairs); CC is the
+    salted pointer-jumping operator (rounds ~ log2 of cluster diameter —
+    near-dup clusters are shallow).  doc_ids ride through CC zero-padded
+    so the operator's string min-label equals the numeric min."""
+    from .operators.canonicalize import connected_components as cc
+    from .operators.dedup import minhash_candidates, ngram_jaccard_pairs
+    docs = load(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs).select("a_id", "b_id")
+    verified = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    comp = cc(verified.select(pad("a_id").alias("src"),
+                              pad("b_id").alias("dst")))
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_representative"))
+
+
 def q_bm25_rank(spark, sf_dir):
     """A4: per-doc descending BM25 rank of the dictionary terms
     (bm25.bm25_rank shape)."""
@@ -1038,6 +1065,37 @@ ORACLES["near_dup_pipeline"] = rf"""
     WHERE jaccard >= 0.8
 """
 
+# Clustering twin of near_dup_pipeline: same candidate + verify CTEs, then
+# transitive closure (recursive CTE) == the operator's min-label CC, and
+# min doc_id per component == the zero-padded string min-label.
+ORACLES["near_dup_clusters"] = rf"""
+    WITH RECURSIVE {_minhash_cte()}, {_minhash_pairs_cte()},
+    sets AS (SELECT doc_id,
+               list_distinct(regexp_split_to_array(text, '\s+')) AS toks
+             FROM documents),
+    verified AS (
+      SELECT a_id, b_id FROM (
+        SELECT p2.a_id, p2.b_id,
+               ROUND(CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+                     / (len(sa.toks) + len(sb.toks)
+                        - len(list_intersect(sa.toks, sb.toks))), 4)
+                 AS jaccard
+        FROM pairs p2
+        JOIN sets sa ON sa.doc_id = p2.a_id
+        JOIN sets sb ON sb.doc_id = p2.b_id) t
+      WHERE jaccard >= 0.8),
+    sym AS (SELECT a_id AS a, b_id AS b FROM verified
+            UNION SELECT b_id AS a, a_id AS b FROM verified),
+    nodes AS (SELECT DISTINCT a FROM sym),
+    reach AS (
+      SELECT a, a AS b FROM nodes
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+    SELECT a AS doc_id, MIN(b) AS cluster_id,
+           (a = MIN(b)) AS is_representative
+    FROM reach GROUP BY a
+"""
+
 ORACLES["bm25_rank"] = f"""
     {_BM25_BASE_SQL}
     SELECT doc_id, term, bm25,
@@ -1104,6 +1162,7 @@ SPARK_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "near_dup_pipeline": q_near_dup_pipeline,
+    "near_dup_clusters": q_near_dup_clusters,
     "bm25_rank": q_bm25_rank,
     "problematic_terms": q_problematic_terms,
     "bm25_stats": q_bm25_stats,

@@ -43,6 +43,22 @@ def test_minhash_deterministic(docs):
     assert s1 == s2
 
 
+def test_near_dup_clusters_composition(spark, docs):
+    """The near_dup_clusters query shape: LSH candidates -> Jaccard
+    verify -> CC -> min-doc_id representative.  Docs 0/1/2 are one
+    near-dup cluster (0 its representative); 3 and 4 never cluster."""
+    from apt_bron_re_spark.operators.canonicalize import (
+        connected_components as cc)
+    cands = dedup.minhash_candidates(docs).select("a_id", "b_id")
+    verified = dedup.ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    comp = cc(verified.select(pad("a_id").alias("src"),
+                              pad("b_id").alias("dst")))
+    rows = {int(r.id): (int(r.component), r.id == r.component)
+            for r in comp.collect()}
+    assert rows == {0: (0, True), 1: (0, False), 2: (0, False)}
+
+
 def test_simhash_near_pairs(docs):
     sh = {r.doc_id: r.simhash60 for r in dedup.simhash(docs).collect()}
     assert sh[0] == sh[1]
