@@ -508,8 +508,13 @@ def q_near_dup_clusters(spark, sf_dir):
     cands = minhash_candidates(docs).select("a_id", "b_id")
     verified = ngram_jaccard_pairs(docs, cands, threshold=0.8)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    # partitions=4: the verified-pair graph is tiny relative to the
+    # corpus (near-dup clusters are rare), and CC pays its per-round
+    # task-launch latency times the shuffle width — size the width to
+    # the graph, not the session (the operator docstring's contract; a
+    # 100 TB caller passes a larger value).
     comp = cc(verified.select(pad("a_id").alias("src"),
-                              pad("b_id").alias("dst")))
+                              pad("b_id").alias("dst")), partitions=4)
     return comp.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_id"),

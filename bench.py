@@ -43,6 +43,7 @@ HEADLINE = [
     "quality_score",
     # training-data operators (all oracled since round 2)
     "near_dup_pipeline",     # MinHash-LSH -> exact-Jaccard verify (scale path)
+    "near_dup_clusters",     # + CC -> canonical representative (round 4)
     "minhash_dedup",
     "simhash_docs",
     "shared_passages",
