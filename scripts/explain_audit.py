@@ -155,6 +155,21 @@ def main() -> None:
         ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
     ))
 
+    # 11b. near_dup_clusters: the iterative CC truncates its lineage per
+    # round (localCheckpoint), so the FINAL plan must be a flat
+    # checkpoint scan + projection — a growing per-round lineage (the
+    # failure mode checkpointing prevents) would show the whole join
+    # pyramid here.  Round-internal caching of the verified-pair graph
+    # (the edge persist) is pinned by the wall-clock regression test in
+    # the bench record instead (20 s -> 12.7 s at sf0.1, NOTES_r4).
+    p = plan_of(SPARK_QUERIES["near_dup_clusters"](spark, SF_DIR))
+    checks.append((
+        "near_dup_clusters (LSH -> verify -> CC -> representative)", p,
+        ["Scan ExistingRDD"],
+        ["ArrowEvalPython", "BatchEvalPython", "CartesianProduct",
+         "SortMergeJoin"],
+    ))
+
     # 12. ANN multi-table LSH: the signature UDF is the one intended
     # Arrow-batched Python node; candidates join on (table, bucket) with a
     # broadcast of the (tiny) query side — never a cross join
