@@ -232,7 +232,14 @@ def _attach_justification(agg: DataFrame, ev_sent: DataFrame,
     with the triple side as build (round 4; was shuffle_merge): the
     aggregated triple side is catalog-bounded (subj/obj are canonical
     catalog ids) while ev_sent is data-sized — hashing the small side
-    skips sorting BOTH shuffled streams."""
+    skips sorting BOTH shuffled streams.
+
+    NOTE: building the LEFT (stream-preserved) side of a LEFT OUTER
+    shuffle_hash join requires Spark >= 3.5 (SPARK-36612); earlier
+    planners silently fall back to sort-merge (correctness unaffected,
+    the round-4 sort-free win lost).  scripts/explain_audit.py asserts
+    ShuffledHashJoin in the materialize stage plan so a silent fallback
+    fails the audit."""
     joined = agg.hint("shuffle_hash").join(
         ev_sent,
         (F.col(f"{bj}.url") == ev_sent.url)

@@ -85,18 +85,37 @@ def alias_coverage(docs: DataFrame, alias_catalog: DataFrame,
     aliases — the signal the reference harness surfaces per report).
 
     ``docs``: (doc_id, text); ``alias_catalog``: (grp, kind, term) with
-    kind in {name, mitre, malpedia} — catalog-sized, broadcast.  Every
-    document gets a row (the reference writes a summary entry per file),
-    zero counts included.
+    kind in {name, mitre, malpedia} — catalog-sized, broadcast.  Terms
+    may be MULTI-WORD phrases (``sep``-joined tokens, e.g. "hash join"):
+    a phrase matches when its tokens appear consecutively in the
+    ``sep``-split document.  Every document gets a row (the reference
+    writes a summary entry per file), zero counts included.
 
-    Scale notes: one broadcast token join + two partial-agged groupBys;
-    the distinct() before the per-group rollup bounds the shuffle at one
-    row per (doc, group, kind)."""
+    Scale notes: one broadcast FIRST-token join prefilters linearly in
+    corpus tokens; only the sparse (catalog-selectivity-bounded)
+    multi-word candidates rejoin the doc text for the consecutive-token
+    verify — never a docs x catalog scan.  distinct() before the
+    per-group rollup bounds the shuffle at one row per (doc, group,
+    kind)."""
+    cat = alias_catalog.select(
+        "grp", "kind", "term",
+        F.element_at(F.split(F.col("term"), sep), 1).alias("first_tok"),
+        (F.instr(F.col("term"), sep) > 0).alias("is_multi"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), sep)).alias("token"))
-    hits = (toks.join(F.broadcast(alias_catalog),
-                      toks.token == alias_catalog.term)
-            .select("doc_id", "grp", "kind").distinct())
+    cand = (toks.join(F.broadcast(cat), toks.token == cat.first_tok)
+            .select("doc_id", "grp", "kind", "term", "is_multi").distinct())
+    single = cand.filter(~F.col("is_multi")).select("doc_id", "grp", "kind")
+    # consecutive-token phrase check: with sep-split tokenization,
+    # sep+text+sep containing sep+term+sep <=> the phrase's tokens appear
+    # consecutively (text reconstructs exactly as sep-join of its tokens)
+    multi = (cand.filter(F.col("is_multi"))
+             .join(docs, "doc_id")
+             .filter(F.instr(F.concat(F.lit(sep), F.col("text"), F.lit(sep)),
+                             F.concat(F.lit(sep), F.col("term"), F.lit(sep)))
+                     > 0)
+             .select("doc_id", "grp", "kind"))
+    hits = single.unionByName(multi).distinct()
     per_group = hits.groupBy("doc_id", "grp").agg(
         F.max((F.col("kind") == "name").cast("int")).alias("name_hit"),
         F.max((F.col("kind") == "mitre").cast("int")).alias("mitre_hit"),

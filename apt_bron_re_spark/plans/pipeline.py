@@ -115,16 +115,37 @@ class Pipeline:
                     f"this build uses {want}; use a fresh base_dir (or "
                     "matching n_buckets) — resuming would mis-bucket")
         else:
+            # A base_dir that already holds stage output but NO marker
+            # predates the marker scheme (pre-round-3 crc32 pbuckets) or
+            # lost it — stamping the CURRENT layout would silently
+            # grandfather unknown-layout data and a resume could
+            # mis-bucket, the exact failure this guard exists to prevent.
+            existing = ([] if not self.base.exists() else
+                        [p.name for p in self.base.iterdir()
+                         if p.name != marker.name])
+            if existing:
+                raise RuntimeError(
+                    f"base_dir {self.base} contains stage output "
+                    f"({sorted(existing)[:5]}...) but no _layout.json — "
+                    "its bucket layout is unknown; use a fresh base_dir "
+                    "(resuming unmarked data could mis-bucket)")
             self.base.mkdir(parents=True, exist_ok=True)
             marker.write_text(json.dumps(want))
 
     def _canon_stage(self, resume: bool = True) -> DataFrame:
         """Stage 4 with the optional cross-run cache (constructor doc).
-        ``resume=False`` (the documented full-recompute path) rebuilds and
-        republishes the cache; cache publication is atomic (write to a
-        temp dir, rename into place) so concurrent pipelines sharing
-        ``canon_cache_dir`` never read a half-written cache."""
-        fp3 = fingerprint(self._catalog_fp, "canonicalize")
+        ``resume=False`` (the documented full-recompute path) rebuilds the
+        stage table; an already-PUBLISHED cache (dir with ``_SUCCESS``) is
+        kept as-is — cache content is a pure function of the catalog
+        fingerprint, so a rebuild would republish identical bytes.  A
+        cache dir WITHOUT ``_SUCCESS`` (half-written by a legacy
+        non-atomic writer, or a crashed copy) is treated as ABSENT and
+        replaced (rename-away + rename-in), so a stale husk never blocks
+        publication.  Publication is atomic (write to a temp dir, rename
+        into place) so concurrent pipelines sharing ``canon_cache_dir``
+        never read a half-written cache."""
+        fp3 = fingerprint(self._catalog_fp, "canonicalize",
+                          canonicalize.CANON_ALGO_VERSION)
         if self.canon_cache_dir is not None:
             cache = Path(self.canon_cache_dir) / f"canon_{fp3[:16]}"
             if resume and (cache / "_SUCCESS").exists():
@@ -142,6 +163,16 @@ class Pipeline:
                 f"{cache.name}.tmp-{os.getpid()}-{time.time_ns()}")
             out.write.mode("overwrite").parquet(str(tmp))
             try:
+                if cache.exists() and not (cache / "_SUCCESS").exists():
+                    # half-written husk (legacy non-atomic writer / crash):
+                    # rename it away so the fresh build can publish — a
+                    # rename, not an in-place delete, so a concurrent
+                    # reader of the husk (already wrong) can't see a
+                    # partially-deleted tree
+                    husk = cache.with_name(
+                        f"{cache.name}.husk-{os.getpid()}-{time.time_ns()}")
+                    cache.rename(husk)
+                    shutil.rmtree(str(husk), ignore_errors=True)
                 if cache.exists():
                     # a concurrent run already published an identical cache
                     # (content is a pure function of the fingerprint)
@@ -279,7 +310,8 @@ class Pipeline:
         else:
             fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention")
         fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
-        fp3 = fingerprint(self._catalog_fp, "canonicalize")
+        fp3 = fingerprint(self._catalog_fp, "canonicalize",
+                          canonicalize.CANON_ALGO_VERSION)
         fp4 = fingerprint(fp2, fp3, "materialize")
         return fp0, fp1, fp2, fp3, fp4
 
@@ -407,7 +439,8 @@ class Pipeline:
         linked = self._run_link_stage(fp2, build_linked, resume=resume)
         residual = self._read("links_residual")
 
-        fp3 = fingerprint(self._catalog_fp, "canonicalize")
+        fp3 = fingerprint(self._catalog_fp, "canonicalize",
+                          canonicalize.CANON_ALGO_VERSION)
         canon = self._canon_stage(resume)
 
         fp4 = fingerprint(fp2, fp3, "materialize")

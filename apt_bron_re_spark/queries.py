@@ -559,6 +559,9 @@ ALIAS_CATALOG = [
     ("APT-STREAM", "mitre", "batch"),
     ("APT-DUP", "name", "dup"),
     ("APT-DUP", "malpedia", "filter"),
+    # multi-word phrase terms (round 5): consecutive-token match
+    ("APT-PHRASE", "name", "hash join"),
+    ("APT-PHRASE", "mitre", "stream batch"),
 ]
 
 
@@ -1180,9 +1183,23 @@ _ALIAS_CAT_SQL = ", ".join(f"('{g}', '{k}', '{t}')"
 ORACLES["alias_coverage"] = f"""
     WITH {_TOK_CTE},
     cat(grp, kind, term) AS (VALUES {_ALIAS_CAT_SQL}),
+    -- first-token prefilter + consecutive-token phrase verify: the same
+    -- two-stage match as operators/summaries.alias_coverage
+    cat_x AS (
+      SELECT grp, kind, term,
+             string_split(term, ' ')[1] AS first_tok,
+             instr(term, ' ') > 0 AS is_multi
+      FROM cat),
+    cand AS (
+      SELECT DISTINCT doc_id, grp, kind, term, is_multi
+      FROM tok JOIN cat_x ON tok.token = cat_x.first_tok),
     hits AS (
-      SELECT DISTINCT doc_id, grp, kind
-      FROM tok JOIN cat ON tok.token = cat.term),
+      SELECT doc_id, grp, kind FROM cand WHERE NOT is_multi
+      UNION
+      SELECT c.doc_id, c.grp, c.kind
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+      WHERE c.is_multi
+        AND instr(' ' || d.text || ' ', ' ' || c.term || ' ') > 0),
     per_group AS (
       SELECT doc_id, grp,
              MAX(CASE WHEN kind = 'name' THEN 1 ELSE 0 END) AS name_hit,

@@ -86,16 +86,27 @@ def _year_of(i: int) -> int:
     return 2019 + (i % 6)
 
 
-def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
+def generate_page(i: int, seed: int = 42, scale: int = 1,
+                  hub_rate: float | None = None) -> dict:
     """One deterministic page record (plain dict).
 
     ``scale`` multiplies the filler-prose volume (realistic web pages are
     10-100 KB; the default tiny pages keep unit tests fast).  scale=1
     output is byte-stable regardless of this parameter's existence — the
     extra draws happen only when scale > 1, after the base draws.
+
+    ``hub_rate`` (round-5 skew stress): overrides the default 30% hub-GROUP
+    rate AND additionally plants one fixed hub CVE at the same rate — the
+    reference's hub-entity reality (one APT group / one headline CVE in a
+    large fraction of reports, SURVEY §4) pushed past the default.  The
+    default ``None`` keeps every draw identical to before (byte-stable,
+    same pattern as ``scale``): the hub-CVE draw happens only when
+    hub_rate is explicitly set, after the base draws.
     """
     rng = random.Random((seed << 20) ^ i)
     layers = build_layer_map()
+    hubbed = hub_rate is not None
+    hr = HUB_RATE if hub_rate is None else hub_rate
 
     groups = layers["group"]
     techniques = layers["technique"]
@@ -108,7 +119,7 @@ def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
     paras: list[str] = []
 
     # --- threat-actor paragraph (hub-skewed)
-    if rng.random() < HUB_RATE:
+    if rng.random() < hr:
         grp = next(g for g in groups if g["name"] == HUB_GROUP)
     else:
         grp = rng.choice(groups)
@@ -150,6 +161,11 @@ def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
     cve_year = 2017 + rng.randrange(8)
     cve_num = 1000 + rng.randrange(9000)
     cve = f"CVE-{cve_year}-{cve_num}"
+    if hubbed and rng.random() < hr:
+        # hub CVE (skew stress only — the extra draw keeps the default
+        # path byte-stable): one headline vulnerability dominating the
+        # reporting cycle
+        cve = "CVE-2021-44228"
     cpe = rng.choice(cpes)
     bits = [f"The actors exploited {cve} on unpatched appliances."]
     if rng.random() < 0.6:
@@ -237,13 +253,14 @@ def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
     }
 
 
-def generate_pages(n: int, seed: int = 42, scale: int = 1) -> list[dict]:
+def generate_pages(n: int, seed: int = 42, scale: int = 1,
+                   hub_rate: float | None = None) -> list[dict]:
     """n deterministic page records."""
-    return [generate_page(i, seed, scale) for i in range(n)]
+    return [generate_page(i, seed, scale, hub_rate) for i in range(n)]
 
 
 def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None,
-             scale: int = 1):
+             scale: int = 1, hub_rate: float | None = None):
     """Synthetic pages as a Spark DataFrame with the input_hint schema.
 
     For large n the generation itself is distributed: parallelize the ids
@@ -263,7 +280,7 @@ def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None,
     rdd = (
         spark.sparkContext
         .parallelize(range(n), parts)
-        .map(lambda i: generate_page(i, seed, scale))
+        .map(lambda i: generate_page(i, seed, scale, hub_rate))
         .map(lambda d: (d["url"], d["warc_ts"], d["html"], d["text"], d["lang"]))
     )
     return spark.createDataFrame(rdd, schema)

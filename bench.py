@@ -107,23 +107,51 @@ def main() -> None:
     # first measured query
     force(SPARK_QUERIES["lang_stats"](spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        force(SPARK_QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    # Steal-gated rep retry for EVERY timing (round-5 verdict #1 — rounds
+    # 2-4 each had the authoritative record misstate the code's speed from
+    # episodic vCPU steal; in r4 the 22 single-shot micro timings read
+    # 1.5-4x slower than r3 purely from noise while only kg_pipeline was
+    # rep-gated).  Each query reps until one lands in a quiet window —
+    # steal below STEAL_RATE_GATE of its own wall (host steal is in
+    # CPU-seconds, so the gate scales with the measured span; FLOOR absorbs
+    # clock granularity on sub-second queries) — or the rep budget runs
+    # out.  Best wall is recorded, with every rep's steal bracket in
+    # `query_reps` so the noise evidence rides the artifact.
+    MAX_REPS, MIN_REPS = 3, 2
+    STEAL_RATE_GATE, STEAL_FLOOR_S = 0.25, 0.5
 
-    # Steal-gated rep retry (the bench_scaling protocol, round-4 verdict
-    # #1a): the host shows EPISODIC vCPU steal (4,892 s landed inside one
-    # recorded round-3 bracket and inflated the headline 46%), so the
-    # headline kg_pipeline reps until one lands in a quiet window (steal
-    # below the gate) or the rep budget is exhausted; the BEST wall is
-    # recorded along with every rep's steal bracket — measuring the code,
-    # not the neighbours, with the noise evidence in the artifact.
-    MAX_REPS, MIN_REPS, STEAL_GATE_S = 4, 2, 8.0
+    def quiet(wall: float, steal: float | None) -> bool:
+        return steal is None or steal <= max(STEAL_FLOOR_S,
+                                             STEAL_RATE_GATE * wall)
+
+    timings: dict[str, float] = {}
+    query_reps: dict[str, list[dict]] = {}
+    for name in HEADLINE:
+        reps: list[dict] = []
+        best = None
+        for _rep in range(MAX_REPS):
+            s0 = _steal_s()
+            t0 = time.time()
+            force(SPARK_QUERIES[name](spark, sf_dir))
+            wall = time.time() - t0
+            s1 = _steal_s()
+            steal = (round(s1 - s0, 1)
+                     if s0 is not None and s1 is not None else None)
+            reps.append({"wall_s": round(wall, 3), "steal_s": steal})
+            if best is None or wall < best:
+                best = wall
+            # min 2 reps (the first carries plan-compile/codegen warmup),
+            # then stop on the first quiet window
+            if _rep + 1 >= MIN_REPS and quiet(wall, steal):
+                break
+        timings[name] = round(best, 3)
+        query_reps[name] = reps
+
+    # kg_pipeline keeps its larger rep budget (it is the headline metric)
+    MAX_KG_REPS = 4
     kg_reps: list[dict] = []
     kg_wall, n_triples = None, 0
-    for _rep in range(MAX_REPS):
+    for _rep in range(MAX_KG_REPS):
         workdir = tempfile.mkdtemp(prefix="bench_kg_")
         s0 = _steal_s()
         try:
@@ -136,13 +164,10 @@ def main() -> None:
         kg_reps.append({"wall_s": round(wall, 3), "steal_s": rep_steal})
         if kg_wall is None or wall < kg_wall:
             kg_wall, n_triples = wall, n
-        # min 2 reps (first carries stage-codepath warmup), then stop on
-        # the first quiet window; unreadable steal keeps old single-rep
-        # behavior beyond the minimum
-        if _rep + 1 >= MIN_REPS and (rep_steal is None
-                                     or rep_steal < STEAL_GATE_S):
+        if _rep + 1 >= MIN_REPS and quiet(wall, rep_steal):
             break
     timings["kg_pipeline"] = round(kg_wall, 3)
+    query_reps["kg_pipeline"] = kg_reps
 
     triples_per_sec = round(n_triples / kg_wall, 2) if kg_wall > 0 else 0.0
     # host-noise evidence alongside the timings: loadavg and accumulated
@@ -165,6 +190,7 @@ def main() -> None:
         "loadavg_end": load1,
         "steal_total_s": steal_s,
         "kg_reps": kg_reps,
+        "query_reps": query_reps,
     }))
 
 

@@ -40,7 +40,7 @@ spark = get_spark("scaling", master="local[{cpus}]",
                   shuffle_partitions={shuffle})
 td = tempfile.mkdtemp(prefix="scaling_")
 pp = os.path.join(td, "pages")
-pages_df(spark, {n_pages}, scale={page_scale},
+pages_df(spark, {n_pages}, scale={page_scale}, hub_rate={hub_rate},
          partitions={shuffle}).write.mode("overwrite").parquet(pp)
 pages = spark.read.parquet(pp)
 pipe = Pipeline(spark, build_layer_map(), os.path.join(td, "st"),
@@ -151,9 +151,11 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_s": round(wall, 2),
 """
 
 
-def run_level(cpus: int, n_pages: int, shuffle: int, page_scale: int) -> dict:
+def run_level(cpus: int, n_pages: int, shuffle: int, page_scale: int,
+              hub_rate: float | None = None) -> dict:
     code = RUNNER.format(repo=str(REPO), cpus=cpus, n_pages=n_pages,
-                         shuffle=shuffle, page_scale=page_scale)
+                         shuffle=shuffle, page_scale=page_scale,
+                         hub_rate=hub_rate)
     out = subprocess.run([sys.executable, "-c", code],
                          capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -162,29 +164,41 @@ def run_level(cpus: int, n_pages: int, shuffle: int, page_scale: int) -> dict:
     raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
 
 
+def _level_reps(cpus: int, n_pages: int, shuffle: int, page_scale: int,
+                hub_rate: float | None = None,
+                max_reps: int = 4, min_reps: int = 2,
+                steal_gate_s: float = 8.0) -> dict:
+    """One parallelism level, steal-gated: reps retry until a rep LANDS in
+    a quiet window (ITS OWN steal below the gate — round-5 verdict #7: the
+    old form gated on the best-so-far rep's bracket, so a quiet-but-slower
+    rep didn't stop the loop and day-long protocol runs burned the full
+    budget) or the budget is exhausted.  Best-throughput rep is kept (host
+    noise only ever SLOWS a rep, so best == closest to the code's speed);
+    every rep's bracket is recorded in the result under "reps"."""
+    best, reps = None, []
+    for rep in range(max_reps):
+        print(f"[scaling] running local[{cpus}] on {n_pages} pages "
+              f"(scale={page_scale}, shuffle={shuffle}, "
+              f"hub_rate={hub_rate}) rep {rep+1}/{max_reps}...", flush=True)
+        r = run_level(cpus, n_pages, shuffle, page_scale, hub_rate)
+        print(f"[scaling] {r}", flush=True)
+        reps.append({"wall_s": r["wall_s"], "steal_s": r.get("steal_s"),
+                     "triples_per_sec": r["triples_per_sec"]})
+        if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
+            best = r
+        if rep + 1 >= min_reps and r.get("steal_s", 99) < steal_gate_s:
+            break
+    best["reps"] = reps
+    return best
+
+
 def _protocol(low: int, high: int, n_pages: int, shuffle: int,
               page_scale: int) -> tuple[list[dict], float]:
-    # Each level runs up to MAX_REPS and the best run is kept: the host
-    # shows EPISODIC interference (vCPU steal up to ~67 s per run
-    # observed), so reps retry until one lands in a quiet window (steal
-    # below the gate) or the rep budget is exhausted — measuring the
-    # code, not the neighbours.  The per-rep steal is recorded either
-    # way.
-    MAX_REPS, MIN_REPS, STEAL_GATE_S = 4, 2, 8.0
-    results = []
-    for cpus in (low, high):
-        best = None
-        for rep in range(MAX_REPS):
-            print(f"[scaling] running local[{cpus}] on {n_pages} pages "
-                  f"(scale={page_scale}, shuffle={shuffle}) "
-                  f"rep {rep+1}/{MAX_REPS}...", flush=True)
-            r = run_level(cpus, n_pages, shuffle, page_scale)
-            print(f"[scaling] {r}", flush=True)
-            if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
-                best = r
-            if rep + 1 >= MIN_REPS and best.get("steal_s", 99) < STEAL_GATE_S:
-                break
-        results.append(best)
+    # Each level runs up to 4 steal-gated reps; the host shows EPISODIC
+    # interference (vCPU steal up to ~67 s per run observed) — see
+    # _level_reps.
+    results = [_level_reps(cpus, n_pages, shuffle, page_scale)
+               for cpus in (low, high)]
     eff = results[1]["triples_per_sec"] / (
         (high / low) * results[0]["triples_per_sec"])
     return results, eff
@@ -198,6 +212,75 @@ def _stage_table(results, low, high):
         for s in ["extract", "mention", "link", "canonicalize", "materialize"])
 
 
+SKEW_SECTION = "## Skew stress (hub-heavy corpus vs default)"
+
+
+def _render_skew(sk: dict) -> str:
+    uni, hub = sk["uniform"], sk["hub"]
+    rows = "".join(
+        f"| {s} | {uni['stages'].get(s, '-')} | {hub['stages'].get(s, '-')} "
+        f"| {round(hub['stages'][s] / uni['stages'][s], 2) if uni['stages'].get(s) and hub['stages'].get(s) else '-'}x |\n"
+        for s in ["extract", "mention", "link", "canonicalize",
+                  "materialize"])
+    return f"""{SKEW_SECTION}
+
+Generated by `scripts/bench_scaling.py skew` on {sk['when']}: the
+identical pipeline at local[{sk['cpus']}] on {sk['n_pages']} pages —
+default corpus (already 30% hub-GROUP: HUB_RATE in sources/pages.py)
+vs hub-heavy (`hub_rate={sk['hub_rate']}`: the hub group AND one fixed
+hub CVE each in ~{int(sk['hub_rate']*100)}% of pages — the reference's
+hub-entity reality, SURVEY §4, pushed past the default).  The salted
+paths under stress: canonicalize's two-phase salted aggregation and
+materialize's salted exact k-smallest + hub-key explode pairing.
+
+| | wall (s) | triples | triples/sec | steal (s) |
+|---|---|---|---|---|
+| default corpus | {uni['wall_s']} | {uni['n_triples']} | {uni['triples_per_sec']} | {uni.get('steal_s', '-')} |
+| hub-heavy | {hub['wall_s']} | {hub['n_triples']} | {hub['triples_per_sec']} | {hub.get('steal_s', '-')} |
+
+Per-stage wall seconds (hub/default ratio — the pass bar is the hot
+stages staying within ~1.3x of the default corpus at the same scale;
+note the hub corpus also emits MORE triples, so the ratio overstates
+per-triple cost):
+
+| stage | default | hub-heavy | ratio |
+|---|---|---|---|
+{rows}"""
+
+
+def run_skew(n_pages: int, cpus: int, hub_rate: float,
+             shuffle: int = 32, page_scale: int = 1) -> None:
+    """Hub-heavy skew stress (round-5 verdict #4): same pipeline, same
+    scale, one parallelism level — default corpus vs hub_rate-skewed —
+    and the per-stage walls side by side in BENCH/BASELINE.md."""
+    uni = _level_reps(cpus, n_pages, shuffle, page_scale, None,
+                      max_reps=3)
+    hub = _level_reps(cpus, n_pages, shuffle, page_scale, hub_rate,
+                      max_reps=3)
+    sk = {"when": time.strftime("%Y-%m-%d %H:%M"), "cpus": cpus,
+          "n_pages": n_pages, "hub_rate": hub_rate,
+          "uniform": uni, "hub": hub}
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "skew_result.json").write_text(json.dumps(sk, indent=1))
+    section = _render_skew(sk)
+    md_path = bench_dir / "BASELINE.md"
+    if md_path.exists():
+        text = md_path.read_text()
+        if SKEW_SECTION in text:
+            pre, rest = text.split(SKEW_SECTION, 1)
+            nxt = rest.find("\n## ")
+            text = pre + section + (rest[nxt + 1:] if nxt >= 0 else "")
+        else:
+            text = text.rstrip() + "\n\n" + section
+        md_path.write_text(text)
+    else:
+        md_path.write_text(section)
+    print(f"[skew] wall ratio "
+          f"{hub['wall_s'] / uni['wall_s']:.2f}; wrote skew_result.json "
+          f"+ BASELINE.md section")
+
+
 def main() -> None:
     """Runs BOTH sandbox protocols:
 
@@ -208,6 +291,11 @@ def main() -> None:
         unsaturated on the 32-core box while exercising real parallelism
         at the low level too).
     """
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        run_skew(n_pages=int(sys.argv[2]) if len(sys.argv) > 2 else 64_000,
+                 cpus=int(sys.argv[3]) if len(sys.argv) > 3 else 4,
+                 hub_rate=float(sys.argv[4]) if len(sys.argv) > 4 else 0.6)
+        return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000
     page_scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     shuffle = 32

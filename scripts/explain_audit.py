@@ -293,7 +293,11 @@ def main() -> None:
     checks.append((
         "materialize stage (single narrow url shuffle, explode pairing)",
         p,
-        ["Generate", "REPARTITION_BY_NUM"],
+        # ShuffledHashJoin pins the justification-attach join shape: the
+        # LEFT-side shuffle_hash build on a LEFT OUTER join is honored
+        # only on Spark >= 3.5 (SPARK-36612) — an older planner silently
+        # falls back to SortMergeJoin and this marker catches it
+        ["Generate", "REPARTITION_BY_NUM", "ShuffledHashJoin"],
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ))
     checks.append((

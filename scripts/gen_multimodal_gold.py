@@ -3,12 +3,20 @@ on synthetic inputs (kg_triples, multimodal_meta, multimodal_frames), so
 the driver's DuckDB oracle can SELECT the expected table instead of
 falling back to the rows-only check.
 
-All three tables are PURE-PYTHON recomputes — no Spark in this script:
+All three tables are PURE-PYTHON recomputes — no Spark in this script.
+Independence caveat: the multimodal rows call the SAME
+make_asset/decode_features/rawv_decode codec functions the Spark
+operators call, so this gold verifies the Spark-side plumbing (schema,
+batching, per-row wiring), not the codecs — a codec bug would propagate
+identically into the gold.  The codecs are pinned separately by the
+hand-built scanline/filter fixtures and random-image differential tests
+in tests/test_multimodal.py.  kg_triples IS independent (second
+implementation: scripts/ref_interpreter.py).
 
 * multimodal_meta:   make_asset + decode_features over the deterministic
-  200-asset corpus (the same independent recompute the in-query
-  ``decode_match`` flag performs), formatted through the shared
-  ``feature_csv`` contract formatter;
+  200-asset corpus (the same recompute the in-query ``decode_match``
+  flag performs), formatted through the shared ``feature_csv`` contract
+  formatter;
 * multimodal_frames: the RAWV containers of the 60-asset corpus decoded
   once each, one row per sampled timestamp (every_ms=400 — the driver
   query's setting);

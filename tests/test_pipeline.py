@@ -141,8 +141,11 @@ def test_layout_marker_fails_fast_on_mismatch(spark, layer_map,
 def test_canon_cache_honors_resume_false(spark, layer_map,
                                          tmp_path_factory):
     """resume=False rebuilds the canonical map even when a canon cache
-    exists, and republishes the cache (round-4 advice: the full-recompute
-    path previously short-circuited to the cached parquet)."""
+    exists (round-4 advice: the full-recompute path previously
+    short-circuited to the cached parquet).  An already-PUBLISHED cache
+    (_SUCCESS present) is KEPT, not republished — content is a pure
+    function of the fingerprint (round-5 advice: docstring/test comment
+    used to claim republication)."""
     cache_root = tmp_path_factory.mktemp("canon_cache")
     base = tmp_path_factory.mktemp("canon_base")
     pipe = Pipeline(spark, layer_map, base, n_buckets=8,
@@ -179,3 +182,44 @@ def test_canon_cache_honors_resume_false(spark, layer_map,
     republished = {(r.label, r.original_id, r.canon_id)
                    for r in spark.read.parquet(cache_dir).collect()}
     assert republished == want
+
+
+def test_canon_cache_husk_replaced(spark, layer_map, tmp_path_factory):
+    """A cache dir WITHOUT _SUCCESS (half-written by a legacy non-atomic
+    writer or a crashed copy) is treated as absent: the rebuild replaces
+    it instead of being permanently blocked (round-5 advice)."""
+    import glob
+    import json as _json
+
+    cache_root = tmp_path_factory.mktemp("canon_cache_husk")
+    pipe = Pipeline(spark, layer_map, tmp_path_factory.mktemp("husk_b1"),
+                    n_buckets=8, canon_cache_dir=cache_root)
+    want = {(r.label, r.original_id, r.canon_id)
+            for r in pipe._canon_stage().collect()}
+    cache_dir = glob.glob(str(cache_root / "canon_*"))[0]
+
+    # degrade the published cache to a husk: drop _SUCCESS, corrupt data
+    import os
+    os.remove(os.path.join(cache_dir, "_SUCCESS"))
+    with open(os.path.join(cache_dir, "junk.txt"), "w") as f:
+        f.write("half-written")
+
+    pipe2 = Pipeline(spark, layer_map, tmp_path_factory.mktemp("husk_b2"),
+                     n_buckets=8, canon_cache_dir=cache_root)
+    got = {(r.label, r.original_id, r.canon_id)
+           for r in pipe2._canon_stage().collect()}
+    assert got == want
+    # the husk was replaced by a real publication
+    assert os.path.exists(os.path.join(cache_dir, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(cache_dir, "junk.txt"))
+
+
+def test_unmarked_base_dir_with_data_refused(spark, layer_map,
+                                             tmp_path_factory):
+    """A base_dir that already contains stage output but NO _layout.json
+    (pre-marker-scheme data, unknown bucket layout) must be refused, not
+    silently stamped with the current layout (round-5 advice)."""
+    base = tmp_path_factory.mktemp("unmarked_base")
+    (base / "mentions").mkdir()
+    with pytest.raises(RuntimeError, match="_layout.json"):
+        Pipeline(spark, layer_map, base, n_buckets=8)

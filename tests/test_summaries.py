@@ -63,3 +63,36 @@ def test_ablation_differences(spark, scored):
     assert ("u1", "group", "g2", "only_a") in diff
     assert ("u1", "group", "g3", "only_b") in diff
     assert not any(e == "g1" and u == "u1" for u, _, e, _ in diff)
+
+
+def test_alias_coverage_multiword_phrases(spark):
+    """Round-5 verdict #6: multi-word alias terms must match when (and
+    only when) their tokens appear CONSECUTIVELY in the sep-split doc."""
+    docs = spark.createDataFrame(
+        [("d1", "uses hash join always"),        # phrase, consecutive
+         ("d2", "hash then a join later"),       # both tokens, NOT adjacent
+         ("d3", "alpha attacked again"),         # single-token name
+         ("d4", "nothing relevant here")],
+        "doc_id string, text string")
+    cat = spark.createDataFrame(
+        [("G1", "mitre", "hash join"),           # multi-word alias
+         ("G1", "name", "alpha"),
+         ("G2", "name", "join")],                # single token = a phrase word
+        "grp string, kind string, term string")
+    got = {r.doc_id: r for r in
+           summaries.alias_coverage(docs, cat).collect()}
+    assert len(got) == 4                          # every doc gets a row
+    # d1: G1 via the phrase alias only (no name) -> alias_without_name,
+    #     plus G2's single-token name "join"
+    assert got["d1"].mitre_alias_hits == 1
+    assert got["d1"].group_name_hits == 1        # G2 "join"
+    assert got["d1"].alias_without_name == 1     # G1 matched only by alias
+    # d2: tokens present but not consecutive -> NO phrase hit; G2 "join" only
+    assert got["d2"].mitre_alias_hits == 0
+    assert got["d2"].group_name_hits == 1
+    assert got["d2"].alias_without_name == 0
+    # d3: single-token name still works
+    assert got["d3"].group_name_hits == 1
+    assert got["d3"].mitre_alias_hits == 0
+    # d4: zero row present
+    assert got["d4"].group_name_hits == 0 and got["d4"].alias_without_name == 0
