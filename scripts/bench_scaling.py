@@ -16,6 +16,7 @@ Usage: python scripts/bench_scaling.py [n_pages] [low_cpus] [high_cpus]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -35,6 +36,32 @@ from apt_bron_re_spark.session import get_spark
 from apt_bron_re_spark.catalog.synthetic import build_layer_map
 from apt_bron_re_spark.plans.pipeline import Pipeline
 from apt_bron_re_spark.sources.pages import pages_df
+
+# Transient cpuacct cgroup (round-4 verdict #8): v1 cpuacct charges CPU
+# to the CGROUP, not the parent's cutime, so the pyspark daemon's
+# SIGCHLD-SIG_IGN auto-reaped workers (pyspark/daemon.py:155 — the tree
+# walk's blind spot) stay counted, and unlike the whole-host busy delta
+# it is insensitive to unrelated host activity.  Joined BEFORE the JVM
+# launches so every descendant inherits it.  Falls back silently (CG =
+# None) where /sys/fs/cgroup/cpuacct is absent or read-only.
+CG = None
+try:
+    CG = os.path.join("/sys/fs/cgroup/cpuacct",
+                      "sparkbench_" + str(os.getpid()))
+    os.mkdir(CG)
+    with open(os.path.join(CG, "tasks"), "w") as _f:
+        _f.write(str(os.getpid()))
+except OSError:
+    CG = None
+
+def _cg_cpu_s():
+    if CG is None:
+        return None
+    try:
+        with open(os.path.join(CG, "cpuacct.usage")) as f:
+            return int(f.read()) / 1e9
+    except OSError:
+        return None
 
 spark = get_spark("scaling", master="local[{cpus}]",
                   shuffle_partitions={shuffle})
@@ -106,7 +133,7 @@ def _host_busy():
             + int(f[7])) / os.sysconf("SC_CLK_TCK")
 
 load_in, steal_in = _host_noise()
-cpu0, hb0 = _cpu_tree_seconds(), _host_busy()
+cpu0, hb0, cg0 = _cpu_tree_seconds(), _host_busy(), _cg_cpu_s()
 t0 = time.time()
 # resume=True, NOT False: the stage dir is a fresh mkdtemp (no lineage),
 # so every corpus stage builds from scratch either way — but only
@@ -133,22 +160,59 @@ load_out, steal_out = _host_noise()
 # reference (it is exact for the JVM + still-live workers).
 cpu_s = _cpu_tree_seconds() - cpu0
 host_cpu_s = _host_busy() - hb0
+cg1 = _cg_cpu_s()
+# cgroup is the primary accountant when available (counts exactly this
+# job's tree, auto-reaped workers included, host-noise-free); host-busy
+# stays as the cross-check column (on a quiet box the two agree to the
+# ~1-2% background burn).
+cgroup_cpu_s = (round(cg1 - cg0, 1)
+                if cg0 is not None and cg1 is not None else None)
+best_cpu_s = cgroup_cpu_s if cgroup_cpu_s is not None else round(host_cpu_s, 1)
 stages = {{r.stage: round(r.wall_s, 1)
            for r in pipe.log.metrics().filter("bucket = -1").collect()}}
 import shutil
 shutil.rmtree(td, ignore_errors=True)
 print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_s": round(wall, 2),
                                "tree_cpu_s": round(cpu_s, 1),
-                               "cpu_s": round(host_cpu_s, 1),
+                               "cpu_s": best_cpu_s,
+                               "cgroup_cpu_s": cgroup_cpu_s,
                                "host_cpu_s": round(host_cpu_s, 1),
-                               "par": round(host_cpu_s / wall, 2),
+                               "par": round(best_cpu_s / wall, 2),
                                "n_triples": n,
                                "triples_per_sec": round(n / wall, 2),
                                "n_pages": {n_pages}, "stages": stages,
                                "loadavg_in": load_in,
                                "loadavg_out": load_out,
                                "steal_s": round(steal_out - steal_in, 1)}}))
+if CG is not None:
+    # best-effort teardown: stop the JVM, move self to the root cgroup,
+    # remove the transient dir (EBUSY if a straggler remains — the parent
+    # sweeps leftovers after the subprocess exits)
+    try:
+        spark.stop()
+        with open("/sys/fs/cgroup/cpuacct/tasks", "w") as _f:
+            _f.write(str(os.getpid()))
+        os.rmdir(CG)
+    except OSError:
+        pass
 """
+
+
+def _sweep_cgroups(retries: int = 10) -> None:
+    """Remove leftover sparkbench_* cpuacct cgroups (a child that exited
+    before its JVM fully died cannot rmdir its own cgroup; the JVM's
+    shutdown lags the python exit by a moment — retry briefly)."""
+    import glob as _glob
+    for _ in range(retries):
+        left = []
+        for d in _glob.glob("/sys/fs/cgroup/cpuacct/sparkbench_*"):
+            try:
+                os.rmdir(d)          # succeeds only when empty
+            except OSError:
+                left.append(d)
+        if not left:
+            return
+        time.sleep(0.5)
 
 
 def run_level(cpus: int, n_pages: int, shuffle: int, page_scale: int,
@@ -158,6 +222,7 @@ def run_level(cpus: int, n_pages: int, shuffle: int, page_scale: int,
                          hub_rate=hub_rate)
     out = subprocess.run([sys.executable, "-c", code],
                          capture_output=True, text=True, timeout=3600)
+    _sweep_cgroups()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
