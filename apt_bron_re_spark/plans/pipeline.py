@@ -151,7 +151,25 @@ class Pipeline:
             if resume and (cache / "_SUCCESS").exists():
                 if not self.log.is_complete("canonicalize", fp3):
                     t0 = time.time()
-                    self._write(self.spark.read.parquet(str(cache)), "canon")
+                    if self.catalog:
+                        self._write(self.spark.read.parquet(str(cache)),
+                                    "canon")
+                    else:
+                        # the published cache IS the stage table's parquet
+                        # layout — a filesystem copy is byte-identical and
+                        # skips a whole Spark read->write job (several
+                        # fixed job latencies on a catalog-sized table,
+                        # paid on every fresh-base-dir run that hits a
+                        # warm shared cache).  tmp + rename keeps the
+                        # stage-dir publication atomic, same as the
+                        # cache's own.
+                        dst = Path(self._path("canon"))
+                        tmp = dst.with_name(
+                            f"canon.tmp-{os.getpid()}-{time.time_ns()}")
+                        shutil.copytree(cache, tmp)
+                        if dst.exists():
+                            shutil.rmtree(str(dst), ignore_errors=True)
+                        tmp.rename(dst)
                     self.log.record("canonicalize", fp3,
                                     self._read("canon"), time.time() - t0)
                 return self._read("canon")

@@ -303,10 +303,15 @@ materialize's salted exact k-smallest + hub-key explode pairing.
 | default corpus | {uni['wall_s']} | {uni['n_triples']} | {uni['triples_per_sec']} | {uni.get('steal_s', '-')} |
 | hub-heavy | {hub['wall_s']} | {hub['n_triples']} | {hub['triples_per_sec']} | {hub.get('steal_s', '-')} |
 
+Note the hub corpus emits FEWER distinct triples at the same page count
+({hub['n_triples']} vs {uni['n_triples']}): mentions concentrate on the
+hub entities, so subject-object pairs collapse into fewer,
+many-source edges — the triples/sec column is therefore NOT comparable
+across the two corpora (same pages, different output); the wall and
+per-stage columns are the skew signal.
+
 Per-stage wall seconds (hub/default ratio — the pass bar is the hot
-stages staying within ~1.3x of the default corpus at the same scale;
-note the hub corpus also emits MORE triples, so the ratio overstates
-per-triple cost):
+stages staying within ~1.3x of the default corpus at the same scale):
 
 | stage | default | hub-heavy | ratio |
 |---|---|---|---|
