@@ -583,13 +583,14 @@ def materialize(evidence_rows, max_sources=64):
 # end-to-end
 # --------------------------------------------------------------------------
 
-def interpret(n_pages: int = 60, seed: int = 42):
+def interpret(n_pages: int = 60, seed: int = 42,
+              hub_rate: float | None = None):
     layer_map = build_layer_map()
     v2n, tid2node = build_catalog(layer_map)
     surface_to_cat = build_tagger_surfaces(layer_map)
 
     mention_rows, residue_rows = [], []
-    for page in generate_pages(n_pages, seed):
+    for page in generate_pages(n_pages, seed, hub_rate=hub_rate):
         if page["lang"] != "en":
             continue
         url = page["url"]
