@@ -170,6 +170,17 @@ def main() -> None:
          "SortMergeJoin"],
     ))
 
+    # 11b. alias_coverage (round-5 multi-word shape): both match stages
+    # join the catalog BROADCAST (first-token prefilter, then the sparse
+    # multi-word candidates rejoin the doc text for the consecutive-token
+    # verify) — never a docs x catalog cross/cartesian scan
+    p = plan_of(SPARK_QUERIES["alias_coverage"](spark, SF_DIR))
+    checks.append((
+        "alias_coverage (first-token prefilter + phrase verify)", p,
+        ["BroadcastHashJoin", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ))
+
     # 12. ANN multi-table LSH: the signature UDF is the one intended
     # Arrow-batched Python node; candidates join on (table, bucket) with a
     # broadcast of the (tiny) query side — never a cross join
