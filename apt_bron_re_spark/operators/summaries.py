@@ -7,6 +7,8 @@ anti-joins); the reference's file/PNG sinks become result DataFrames.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,8 +90,11 @@ def alias_coverage(docs: DataFrame, alias_catalog: DataFrame,
     kind in {name, mitre, malpedia} — catalog-sized, broadcast.  Terms
     may be MULTI-WORD phrases (``sep``-joined tokens, e.g. "hash join"):
     a phrase matches when its tokens appear consecutively in the
-    ``sep``-split document.  Every document gets a row (the reference
-    writes a summary entry per file), zero counts included.
+    ``sep``-split document.  ``sep`` is a LITERAL separator string (it
+    is regex-escaped before the tokenizing split, so e.g. "." or "|"
+    behave as characters, matching the literal instr-based phrase
+    verify).  Every document gets a row (the reference writes a summary
+    entry per file), zero counts included.
 
     Scale notes: one broadcast FIRST-token join prefilters linearly in
     corpus tokens; only the sparse (catalog-selectivity-bounded)
@@ -97,12 +102,13 @@ def alias_coverage(docs: DataFrame, alias_catalog: DataFrame,
     verify — never a docs x catalog scan.  distinct() before the
     per-group rollup bounds the shuffle at one row per (doc, group,
     kind)."""
+    sep_re = re.escape(sep)  # F.split takes a regex; instr is literal
     cat = alias_catalog.select(
         "grp", "kind", "term",
-        F.element_at(F.split(F.col("term"), sep), 1).alias("first_tok"),
+        F.element_at(F.split(F.col("term"), sep_re), 1).alias("first_tok"),
         (F.instr(F.col("term"), sep) > 0).alias("is_multi"))
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), sep)).alias("token"))
+        "doc_id", F.explode(F.split(F.col("text"), sep_re)).alias("token"))
     cand = (toks.join(F.broadcast(cat), toks.token == cat.first_tok)
             .select("doc_id", "grp", "kind", "term", "is_multi").distinct())
     single = cand.filter(~F.col("is_multi")).select("doc_id", "grp", "kind")

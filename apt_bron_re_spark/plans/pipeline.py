@@ -144,8 +144,7 @@ class Pipeline:
         publication.  Publication is atomic (write to a temp dir, rename
         into place) so concurrent pipelines sharing ``canon_cache_dir``
         never read a half-written cache."""
-        fp3 = fingerprint(self._catalog_fp, "canonicalize",
-                          canonicalize.CANON_ALGO_VERSION)
+        fp3 = self._fp3()
         if self.canon_cache_dir is not None:
             cache = Path(self.canon_cache_dir) / f"canon_{fp3[:16]}"
             if resume and (cache / "_SUCCESS").exists():
@@ -186,11 +185,31 @@ class Pipeline:
                     # rename it away so the fresh build can publish — a
                     # rename, not an in-place delete, so a concurrent
                     # reader of the husk (already wrong) can't see a
-                    # partially-deleted tree
+                    # partially-deleted tree.  The exists/_SUCCESS check
+                    # is NOT atomic against a concurrent publication at
+                    # the same path, so re-check AFTER the rename: if the
+                    # grabbed dir turns out to hold _SUCCESS we raced a
+                    # concurrent publisher and stole a VALID cache — put
+                    # it back (or drop our copy if a third publisher
+                    # already refilled the slot; content is a pure
+                    # function of the fingerprint, so any published copy
+                    # is interchangeable).
                     husk = cache.with_name(
                         f"{cache.name}.husk-{os.getpid()}-{time.time_ns()}")
-                    cache.rename(husk)
-                    shutil.rmtree(str(husk), ignore_errors=True)
+                    try:
+                        cache.rename(husk)
+                    except OSError:
+                        pass  # lost a rename race; fall through to the
+                        # cache.exists() checks below
+                    else:
+                        if (husk / "_SUCCESS").exists():
+                            try:
+                                husk.rename(cache)
+                            except OSError:
+                                shutil.rmtree(str(husk),
+                                              ignore_errors=True)
+                        else:
+                            shutil.rmtree(str(husk), ignore_errors=True)
                 if cache.exists():
                     # a concurrent run already published an identical cache
                     # (content is a pure function of the fingerprint)
@@ -320,6 +339,15 @@ class Pipeline:
         self.log.record("link", fp, out, time.time() - t0)
         return out
 
+    def _fp3(self) -> str:
+        """Canonicalize-stage fingerprint — the SINGLE definition (it keys
+        both the lineage rows and the cross-run canon cache; a second
+        copy that drifted would silently desynchronize cache hits from
+        lineage skips).  CANON_ALGO_VERSION folds code changes into the
+        key that the catalog fingerprint cannot see."""
+        return fingerprint(self._catalog_fp, "canonicalize",
+                           canonicalize.CANON_ALGO_VERSION)
+
     def _fps(self) -> tuple[str, str, str, str, str]:
         """The stage fingerprint chain (fp0..fp4) for the current config."""
         fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
@@ -328,8 +356,7 @@ class Pipeline:
         else:
             fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention")
         fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
-        fp3 = fingerprint(self._catalog_fp, "canonicalize",
-                          canonicalize.CANON_ALGO_VERSION)
+        fp3 = self._fp3()
         fp4 = fingerprint(fp2, fp3, "materialize")
         return fp0, fp1, fp2, fp3, fp4
 
@@ -457,8 +484,7 @@ class Pipeline:
         linked = self._run_link_stage(fp2, build_linked, resume=resume)
         residual = self._read("links_residual")
 
-        fp3 = fingerprint(self._catalog_fp, "canonicalize",
-                          canonicalize.CANON_ALGO_VERSION)
+        fp3 = self._fp3()
         canon = self._canon_stage(resume)
 
         fp4 = fingerprint(fp2, fp3, "materialize")

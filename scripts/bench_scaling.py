@@ -154,10 +154,13 @@ load_out, steal_out = _host_noise()
 # daemon sets SIGCHLD to SIG_IGN (pyspark/daemon.py:155), so culled
 # workers are kernel-auto-reaped and their CPU never lands in anyone's
 # cutime — on long runs the mention stage's worker CPU largely vanishes
-# from the tree.  host_cpu_s (whole-host busy delta) is the honest
-# measure on a quiet box (background burn here is ~1-2% of a core); par
-# is computed from it.  The tree figure is kept as tree_cpu_s for
-# reference (it is exact for the JVM + still-live workers).
+# from the tree.  The transient cpuacct cgroup (above) is the primary
+# accountant when available: it charges every descendant INCLUDING
+# auto-reaped workers and is insensitive to unrelated host activity;
+# host_cpu_s (whole-host busy delta) is retained as the cross-check
+# (agrees within ~1% on a quiet box), and par is computed from the best
+# available of the two (cpu_s).  The tree figure is kept as tree_cpu_s
+# for reference (it is exact for the JVM + still-live workers).
 cpu_s = _cpu_tree_seconds() - cpu0
 host_cpu_s = _host_busy() - hb0
 cg1 = _cg_cpu_s()

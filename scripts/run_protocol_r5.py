@@ -7,12 +7,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-import importlib.util as iu
-
-spec = iu.spec_from_file_location(
-    "bs", Path(__file__).resolve().parent / "bench_scaling.py")
-bs = iu.module_from_spec(spec)
-spec.loader.exec_module(bs)
+import bench_scaling as bs  # noqa: E402
 
 low = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 high = int(sys.argv[2]) if len(sys.argv) > 2 else 4

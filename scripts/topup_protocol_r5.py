@@ -9,17 +9,15 @@ import json
 import sys
 from pathlib import Path
 
-import importlib.util as iu
-
 HERE = Path(__file__).resolve().parent
-spec = iu.spec_from_file_location("bs", HERE / "bench_scaling.py")
-bs = iu.module_from_spec(spec)
-spec.loader.exec_module(bs)
+sys.path.insert(0, str(HERE))
+import bench_scaling as bs  # noqa: E402
 
-path = HERE.parent / "BENCH" / "protocol_r5_1v4.json"
+path = Path(sys.argv[1]) if len(sys.argv) > 1 else (
+    HERE.parent / "BENCH" / "protocol_r5_1v4.json")
 d = json.loads(path.read_text())
 
-for i, cpus in enumerate((1, 4)):
+for i, cpus in enumerate((d["low"], d["high"])):
     prior = d["results"][i]
     if prior.get("steal_s", 99) < 8.0:
         print(f"[topup] local[{cpus}] already quiet "
@@ -35,7 +33,8 @@ for i, cpus in enumerate((1, 4)):
     d["results"][i] = best
 
 lo, hi = d["results"]
-d["eff"] = round(hi["triples_per_sec"] / (4 * lo["triples_per_sec"]), 3)
+ratio = d["high"] / d["low"]
+d["eff"] = round(hi["triples_per_sec"] / (ratio * lo["triples_per_sec"]), 3)
 path.write_text(json.dumps(d, indent=1))
 print("TOPUP " + json.dumps({"eff": d["eff"],
                              "lo": {k: lo[k] for k in

@@ -53,8 +53,6 @@ def test_hub_corpus_exact_match(spark, layer_map, tmp_path_factory):
     the salted canonicalize/materialize paths with a genuinely dominant
     key; the pipeline must still match the independent straight-line
     interpreter EXACTLY (triples, sources, scores, justifications)."""
-    import sys
-    sys.path.insert(0, str(Path(__file__).parents[1] / "scripts"))
     import importlib.util as iu
     spec = iu.spec_from_file_location(
         "ref_interp", Path(__file__).parents[1] / "scripts" /

@@ -96,3 +96,18 @@ def test_alias_coverage_multiword_phrases(spark):
     assert got["d3"].mitre_alias_hits == 0
     # d4: zero row present
     assert got["d4"].group_name_hits == 0 and got["d4"].alias_without_name == 0
+
+
+def test_alias_coverage_literal_separator(spark):
+    """`sep` is a literal string: a regex metacharacter separator must
+    tokenize as that character (round-5 review: F.split takes a regex
+    while the phrase verify uses literal instr — the split is escaped)."""
+    docs = spark.createDataFrame(
+        [("d1", "alpha.beta.gamma")], "doc_id string, text string")
+    cat = spark.createDataFrame(
+        [("G1", "name", "beta"), ("G2", "mitre", "alpha.beta")],
+        "grp string, kind string, term string")
+    got = {r.doc_id: r for r in
+           summaries.alias_coverage(docs, cat, sep=".").collect()}
+    assert got["d1"].group_name_hits == 1      # token "beta"
+    assert got["d1"].mitre_alias_hits == 1     # phrase "alpha.beta"
