@@ -165,10 +165,19 @@ class Pipeline:
                         dst = Path(self._path("canon"))
                         tmp = dst.with_name(
                             f"canon.tmp-{os.getpid()}-{time.time_ns()}")
-                        shutil.copytree(cache, tmp)
-                        if dst.exists():
-                            shutil.rmtree(str(dst), ignore_errors=True)
-                        tmp.rename(dst)
+                        try:
+                            shutil.copytree(cache, tmp)
+                            if dst.exists():
+                                shutil.rmtree(str(dst), ignore_errors=True)
+                            tmp.rename(dst)
+                        except OSError:
+                            # don't orphan a canon.tmp-* inside base_dir on
+                            # a mid-copy/rename failure; fall back to the
+                            # Spark read->write path (slower, same bytes)
+                            shutil.rmtree(str(tmp), ignore_errors=True)
+                            self._write(
+                                self.spark.read.parquet(str(cache)),
+                                "canon")
                     self.log.record("canonicalize", fp3,
                                     self._read("canon"), time.time() - t0)
                 return self._read("canon")

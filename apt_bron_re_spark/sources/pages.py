@@ -100,8 +100,10 @@ def generate_page(i: int, seed: int = 42, scale: int = 1,
     reference's hub-entity reality (one APT group / one headline CVE in a
     large fraction of reports, SURVEY §4) pushed past the default.  The
     default ``None`` keeps every draw identical to before (byte-stable,
-    same pattern as ``scale``): the hub-CVE draw happens only when
-    hub_rate is explicitly set, after the base draws.
+    same pattern as ``scale``): the extra hub-CVE draw is skipped
+    ENTIRELY on the default path; when hub_rate is set it occurs
+    mid-sequence (between the CVE-number and cpe draws), so a hub corpus
+    intentionally shifts all downstream draws.
     """
     rng = random.Random((seed << 20) ^ i)
     layers = build_layer_map()

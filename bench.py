@@ -12,6 +12,12 @@ The primary value is the KG pipeline's triples/sec (BASELINE.json metric).
 Query executions are forced with the noop sink (full plan, no driver
 collect).  Use scripts/bench_scaling.py for the N-vs-4N parallelism
 scaling run recorded in BENCH/BASELINE.md.
+
+The final stdout line is kept COMPACT (best walls + kg_reps with
+per-stage walls): the full per-query rep history with steal brackets is
+written to a sidecar (default BENCH/bench_reps_latest.json, override via
+$SPARK_GRAFT_REPS_OUT) — round 5's record went unparsed when the rep
+history rode the stdout line past the driver's tail-capture window.
 """
 
 from __future__ import annotations
@@ -71,8 +77,15 @@ def _steal_s() -> float | None:
         return None
 
 
-def run_kg_pipeline(spark, sf: float, workdir: str) -> tuple[float, int]:
-    """Returns (wall seconds, triples emitted)."""
+def run_kg_pipeline(spark, sf: float,
+                    workdir: str) -> tuple[float, int, dict]:
+    """Returns (wall seconds, triples emitted, per-stage wall dict).
+
+    The stage walls come from the pipeline's own ``_lineage`` summary rows
+    (bucket = -1), the same source the scaling protocol records, so a
+    headline move in the driver artifact is attributable to a stage
+    without re-running the protocol.
+    """
     from apt_bron_re_spark.catalog.synthetic import build_layer_map
     from apt_bron_re_spark.plans.pipeline import Pipeline
     from apt_bron_re_spark.sources.pages import pages_df
@@ -88,7 +101,10 @@ def run_kg_pipeline(spark, sf: float, workdir: str) -> tuple[float, int]:
     t0 = time.time()
     triples = pipe.run(pages, resume=False)
     n_triples = triples.count()
-    return time.time() - t0, n_triples
+    wall = time.time() - t0
+    stages = {r.stage: round(r.wall_s, 1)
+              for r in pipe.log.metrics().filter("bucket = -1").collect()}
+    return wall, n_triples, stages
 
 
 def main() -> None:
@@ -106,6 +122,36 @@ def main() -> None:
     # untimed warmup: session/Arrow/codegen spin-up shouldn't land on the
     # first measured query
     force(SPARK_QUERIES["lang_stats"](spark, sf_dir))
+
+    # Bounded quiet-window wait before the timed section (round-5 verdict
+    # #6 — wire the quiet-runner tactic into the driver bench itself).
+    # Costs one 20 s confirmation window on a quiet day; on a noisy day it
+    # waits up to SPARK_GRAFT_QUIET_WAIT_S (default 300) for the host
+    # steal rate to drop below 0.05 steal-s per wall-s, then proceeds
+    # REGARDLESS (the bench must never fail for noise — the per-rep steal
+    # brackets below still record whatever window it actually got).
+    quiet_wait = {"waited_s": 0.0, "opened": None}
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "300"))
+    if wait_budget > 0 and _steal_s() is not None:
+        RATE, WINDOW, POLL = 0.05, 20.0, 5.0
+        t_start = time.time()
+        quiet_since = None
+        s_prev, t_prev = _steal_s(), time.time()
+        while time.time() - t_start < wait_budget:
+            time.sleep(POLL)
+            s_now, t_now = _steal_s(), time.time()
+            rate = (s_now - s_prev) / (t_now - t_prev)
+            s_prev, t_prev = s_now, t_now
+            if rate < RATE:
+                quiet_since = quiet_since or t_now
+                if t_now - quiet_since >= WINDOW:
+                    quiet_wait["opened"] = True
+                    break
+            else:
+                quiet_since = None
+        quiet_wait["waited_s"] = round(time.time() - t_start, 1)
+        if quiet_wait["opened"] is None:
+            quiet_wait["opened"] = False  # EX_TEMPFAIL analog: proceed anyway
 
     # Steal-gated rep retry for EVERY timing (round-5 verdict #1 — rounds
     # 2-4 each had the authoritative record misstate the code's speed from
@@ -155,13 +201,14 @@ def main() -> None:
         workdir = tempfile.mkdtemp(prefix="bench_kg_")
         s0 = _steal_s()
         try:
-            wall, n = run_kg_pipeline(spark, sf, workdir)
+            wall, n, stages = run_kg_pipeline(spark, sf, workdir)
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
         s1 = _steal_s()
         rep_steal = (round(s1 - s0, 1)
                      if s0 is not None and s1 is not None else None)
-        kg_reps.append({"wall_s": round(wall, 3), "steal_s": rep_steal})
+        kg_reps.append({"wall_s": round(wall, 3), "steal_s": rep_steal,
+                        "stages": stages})
         if kg_wall is None or wall < kg_wall:
             kg_wall, n_triples = wall, n
         if _rep + 1 >= MIN_REPS and quiet(wall, rep_steal):
@@ -179,6 +226,26 @@ def main() -> None:
             "SC_CLK_TCK")
     except Exception:
         load1, steal_s = None, None
+    # Per-rep steal evidence for every micro query goes to a SIDECAR file,
+    # not stdout: round 5's record went unparsed because the single stdout
+    # JSON line outgrew the driver's tail-capture window once query_reps
+    # (~60 rep dicts) rode it.  The contract is ONE COMPACT final line —
+    # best walls + the (small) kg_reps with per-stage walls — with the
+    # full rep history on disk next to the other bench artifacts.
+    reps_out = os.environ.get(
+        "SPARK_GRAFT_REPS_OUT",
+        str(Path(__file__).resolve().parent / "BENCH"
+            / "bench_reps_latest.json"))
+    try:
+        Path(reps_out).parent.mkdir(parents=True, exist_ok=True)
+        Path(reps_out).write_text(json.dumps({
+            "query_reps": query_reps,
+            "kg_reps": kg_reps,
+            "quiet_wait": quiet_wait,
+            "sf": sf, "cpus": cpus,
+        }, indent=1))
+    except OSError:
+        reps_out = None
     print(json.dumps({
         "metric": "triples_per_sec",
         "value": triples_per_sec,
@@ -189,8 +256,9 @@ def main() -> None:
         "n_triples": n_triples,
         "loadavg_end": load1,
         "steal_total_s": steal_s,
+        "quiet_wait": quiet_wait,
         "kg_reps": kg_reps,
-        "query_reps": query_reps,
+        "reps_sidecar": reps_out,
     }))
 
 

@@ -343,7 +343,10 @@ def run_skew(n_pages: int, cpus: int, hub_rate: float,
         if SKEW_SECTION in text:
             pre, rest = text.split(SKEW_SECTION, 1)
             nxt = rest.find("\n## ")
-            text = pre + section + (rest[nxt + 1:] if nxt >= 0 else "")
+            # keep rest's leading newline + ensure a blank line before the
+            # following header so repeated splices don't degrade spacing
+            text = (pre + section.rstrip() + "\n\n"
+                    + (rest[nxt + 1:] if nxt >= 0 else ""))
         else:
             text = text.rstrip() + "\n\n" + section
         md_path.write_text(text)
