@@ -7,8 +7,6 @@ anti-joins); the reference's file/PNG sinks become result DataFrames.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,8 +75,16 @@ def bm25_statistics(scored: DataFrame, threshold: float = 1.0) -> DataFrame:
     return stats.withColumn("rank_in_category", F.row_number().over(w))
 
 
-def alias_coverage(docs: DataFrame, alias_catalog: DataFrame,
-                   sep: str = " ") -> DataFrame:
+def _alias_norm(col):
+    """Reference-parity text normalization for alias matching: lowercase
+    and collapse every non-alphanumeric run to a single space, so any
+    non-alnum character is a match boundary (compare_groups_and_aliases
+    .py:65-74 lowercases and requires non-alnum chars on both sides of a
+    hit)."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+
+
+def alias_coverage(docs: DataFrame, alias_catalog: DataFrame) -> DataFrame:
     """Alias-coverage diagnostic — the analog of the reference's
     group/alias comparison harness (tests/compare_groups_and_aliases.py:
     65-104): per document, the number of DISTINCT groups hit via their
@@ -87,14 +93,18 @@ def alias_coverage(docs: DataFrame, alias_catalog: DataFrame,
     aliases — the signal the reference harness surfaces per report).
 
     ``docs``: (doc_id, text); ``alias_catalog``: (grp, kind, term) with
-    kind in {name, mitre, malpedia} — catalog-sized, broadcast.  Terms
-    may be MULTI-WORD phrases (``sep``-joined tokens, e.g. "hash join"):
-    a phrase matches when its tokens appear consecutively in the
-    ``sep``-split document.  ``sep`` is a LITERAL separator string (it
-    is regex-escaped before the tokenizing split, so e.g. "." or "|"
-    behave as characters, matching the literal instr-based phrase
-    verify).  Every document gets a row (the reference writes a summary
-    entry per file), zero counts included.
+    kind in {name, mitre, malpedia} — catalog-sized, broadcast.
+    Matching is REFERENCE-PARITY (round-5 ADVICE): both sides are
+    lowercased and tokenized on non-alphanumeric boundaries, so "Spark,"
+    matches the term "spark" exactly as the reference's automaton +
+    non-alnum-boundary check does.  Terms may be MULTI-WORD phrases: a
+    phrase matches when its (normalized) tokens appear consecutively in
+    the normalized document.  One DELIBERATE divergence remains: a term
+    with INTERIOR punctuation (e.g. "apt-28") normalizes to its token
+    sequence ("apt 28"), so it also matches "apt_28"/"apt 28" in text,
+    where the reference would require the literal interior character —
+    looser, never tighter.  Every document gets a row (the reference
+    writes a summary entry per file), zero counts included.
 
     Scale notes: one broadcast FIRST-token join prefilters linearly in
     corpus tokens; only the sparse (catalog-selectivity-bounded)
@@ -102,23 +112,28 @@ def alias_coverage(docs: DataFrame, alias_catalog: DataFrame,
     verify — never a docs x catalog scan.  distinct() before the
     per-group rollup bounds the shuffle at one row per (doc, group,
     kind)."""
-    sep_re = re.escape(sep)  # F.split takes a regex; instr is literal
-    cat = alias_catalog.select(
-        "grp", "kind", "term",
-        F.element_at(F.split(F.col("term"), sep_re), 1).alias("first_tok"),
-        (F.instr(F.col("term"), sep) > 0).alias("is_multi"))
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), sep_re)).alias("token"))
+    cat = (alias_catalog
+           .select("grp", "kind",
+                   F.trim(_alias_norm(F.col("term"))).alias("term"))
+           .select(
+               "grp", "kind", "term",
+               F.element_at(F.split(F.col("term"), " "), 1)
+                .alias("first_tok"),
+               (F.instr(F.col("term"), " ") > 0).alias("is_multi")))
+    docs_n = docs.select("doc_id", _alias_norm(F.col("text")).alias("text"))
+    toks = docs_n.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     cand = (toks.join(F.broadcast(cat), toks.token == cat.first_tok)
             .select("doc_id", "grp", "kind", "term", "is_multi").distinct())
     single = cand.filter(~F.col("is_multi")).select("doc_id", "grp", "kind")
-    # consecutive-token phrase check: with sep-split tokenization,
-    # sep+text+sep containing sep+term+sep <=> the phrase's tokens appear
-    # consecutively (text reconstructs exactly as sep-join of its tokens)
+    # consecutive-token phrase check: with space-split tokenization of the
+    # normalized text, ' '+text+' ' containing ' '+term+' ' <=> the
+    # phrase's tokens appear consecutively (normalized text reconstructs
+    # exactly as the space-join of its tokens)
     multi = (cand.filter(F.col("is_multi"))
-             .join(docs, "doc_id")
-             .filter(F.instr(F.concat(F.lit(sep), F.col("text"), F.lit(sep)),
-                             F.concat(F.lit(sep), F.col("term"), F.lit(sep)))
+             .join(docs_n, "doc_id")
+             .filter(F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                             F.concat(F.lit(" "), F.col("term"), F.lit(" ")))
                      > 0)
              .select("doc_id", "grp", "kind"))
     hits = single.unionByName(multi).distinct()

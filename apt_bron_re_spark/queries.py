@@ -1181,23 +1181,34 @@ _ALIAS_CAT_SQL = ", ".join(f"('{g}', '{k}', '{t}')"
                            for g, k, t in ALIAS_CATALOG)
 
 ORACLES["alias_coverage"] = f"""
-    WITH {_TOK_CTE},
-    cat(grp, kind, term) AS (VALUES {_ALIAS_CAT_SQL}),
-    -- first-token prefilter + consecutive-token phrase verify: the same
-    -- two-stage match as operators/summaries.alias_coverage
+    WITH cat(grp, kind, term0) AS (VALUES {_ALIAS_CAT_SQL}),
+    -- reference-parity normalization (lowercase, non-alnum runs ->
+    -- single space) + first-token prefilter + consecutive-token phrase
+    -- verify: the same two-stage match as
+    -- operators/summaries.alias_coverage
+    docs_n AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS text
+      FROM documents),
+    atok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM docs_n),
     cat_x AS (
       SELECT grp, kind, term,
              string_split(term, ' ')[1] AS first_tok,
              instr(term, ' ') > 0 AS is_multi
-      FROM cat),
+      FROM (SELECT grp, kind,
+                   trim(regexp_replace(lower(term0), '[^a-z0-9]+', ' ',
+                                       'g')) AS term
+            FROM cat)),
     cand AS (
       SELECT DISTINCT doc_id, grp, kind, term, is_multi
-      FROM tok JOIN cat_x ON tok.token = cat_x.first_tok),
+      FROM atok JOIN cat_x ON atok.token = cat_x.first_tok),
     hits AS (
       SELECT doc_id, grp, kind FROM cand WHERE NOT is_multi
       UNION
       SELECT c.doc_id, c.grp, c.kind
-      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+      FROM cand c JOIN docs_n d ON c.doc_id = d.doc_id
       WHERE c.is_multi
         AND instr(' ' || d.text || ' ', ' ' || c.term || ' ') > 0),
     per_group AS (

@@ -98,16 +98,26 @@ def test_alias_coverage_multiword_phrases(spark):
     assert got["d4"].group_name_hits == 0 and got["d4"].alias_without_name == 0
 
 
-def test_alias_coverage_literal_separator(spark):
-    """`sep` is a literal string: a regex metacharacter separator must
-    tokenize as that character (round-5 review: F.split takes a regex
-    while the phrase verify uses literal instr — the split is escaped)."""
+def test_alias_coverage_reference_parity_boundaries(spark):
+    """Round-5 ADVICE #4: matching is case-insensitive with ANY non-alnum
+    boundary, like the reference's lowercased automaton + non-alnum
+    boundary check (compare_groups_and_aliases.py:65-74) — "Spark," must
+    hit the term "spark"; "sparkle" must NOT (boundary inside a word)."""
     docs = spark.createDataFrame(
-        [("d1", "alpha.beta.gamma")], "doc_id string, text string")
+        [("d1", "Uses Alpha.Beta, then (gamma)!"),  # punct boundaries + case
+         ("d2", "sparkle is not spark-adjacent"),   # no bare "sparkle" hit
+         ("d3", "HASH\tJOIN across\nlines")],       # phrase over any sep
+        "doc_id string, text string")
     cat = spark.createDataFrame(
-        [("G1", "name", "beta"), ("G2", "mitre", "alpha.beta")],
+        [("G1", "name", "beta"),
+         ("G2", "mitre", "alpha.beta"),   # interior punct -> token sequence
+         ("G3", "name", "sparkle"),
+         ("G4", "mitre", "hash join")],
         "grp string, kind string, term string")
     got = {r.doc_id: r for r in
-           summaries.alias_coverage(docs, cat, sep=".").collect()}
-    assert got["d1"].group_name_hits == 1      # token "beta"
-    assert got["d1"].mitre_alias_hits == 1     # phrase "alpha.beta"
+           summaries.alias_coverage(docs, cat).collect()}
+    assert got["d1"].group_name_hits == 1      # "Beta," -> beta
+    assert got["d1"].mitre_alias_hits == 1     # "Alpha.Beta" -> alpha beta
+    assert got["d2"].group_name_hits == 1      # "sparkle" literal token
+    assert got["d2"].mitre_alias_hits == 0
+    assert got["d3"].mitre_alias_hits == 1     # tab/newline are boundaries
