@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import threading
 import time
 from pathlib import Path
 
@@ -41,6 +42,16 @@ class LineageLog:
     def __init__(self, spark: SparkSession, base_dir: str | Path) -> None:
         self.spark = spark
         self.path = str(Path(base_dir) / "_lineage")
+        # appends are serialized: the pipeline records stages from
+        # CONCURRENT driver threads (residual write, canon overlap), and
+        # two simultaneous append jobs to one parquet dir can collide in
+        # the shared _temporary commit directory
+        self._append_lock = threading.Lock()
+
+    def _append(self, rows: list[tuple]) -> None:
+        with self._append_lock:
+            (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(self.path))
 
     def _read(self) -> DataFrame | None:
         try:
@@ -68,8 +79,7 @@ class LineageLog:
                     for r in per_bucket]
         total = sum(r[3] for r in rows) if rows else out.count()
         rows.append((stage, fp, -1, int(total), wall_s, now))
-        (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-         .coalesce(1).write.mode("append").parquet(self.path))
+        self._append(rows)
 
     def completed_buckets(self, stage: str, fp: str) -> set[int]:
         """Buckets with a lineage row for this (stage, fingerprint) —
@@ -90,15 +100,12 @@ class LineageLog:
         now = time.time()
         rows = [(stage, fp, int(b), int(n), wall_s, now)
                 for b, n in bucket_counts.items()]
-        (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-         .coalesce(1).write.mode("append").parquet(self.path))
+        self._append(rows)
 
     def record_summary(self, stage: str, fp: str, n_rows: int,
                        wall_s: float) -> None:
         now = time.time()
-        (self.spark.createDataFrame(
-            [(stage, fp, -1, int(n_rows), wall_s, now)], LINEAGE_SCHEMA)
-         .coalesce(1).write.mode("append").parquet(self.path))
+        self._append([(stage, fp, -1, int(n_rows), wall_s, now)])
 
     def metrics(self) -> DataFrame | None:
         return self._read()

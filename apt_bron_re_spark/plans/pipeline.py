@@ -408,6 +408,30 @@ class Pipeline:
         # (run_mention_incremental/_write_buckets) still produce it; reads
         # work identically on either layout because pbucket is a column
         # filter there, with dir pruning as a bonus when dirs exist.
+        #
+        # Canon overlap: stage 4 is CATALOG-derived (canonical_map never
+        # reads the corpus), yet ran serially between link and
+        # materialize — several seconds of catalog-sized pointer-jumping
+        # job latency in the timed span of every fresh run.  Build it on
+        # a background thread under the CPU-bound mention/link stages
+        # (the reference's thread-parallel driver, L7/E3, same machinery
+        # as the residual-write overlap): its tiny jobs interleave with
+        # the mention UDF tasks at near-zero wall cost.  Lineage appends
+        # are lock-serialized (LineageLog._append), and the canon stage
+        # writes only its own paths, so the overlap is race-free.
+        import threading
+
+        canon_box: dict[str, object] = {}
+
+        def _canon_bg() -> None:
+            try:
+                canon_box["df"] = self._canon_stage(resume)
+            except BaseException as exc:
+                canon_box["err"] = exc
+
+        canon_th = threading.Thread(target=_canon_bg, name="canon-stage")
+        canon_th.start()
+
         fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
         if self.fuse_extract:
             fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention", "fused")
@@ -490,11 +514,21 @@ class Pipeline:
                 self._bucketed(merged_p))
             return merged, self._bucketed(residual)
 
-        linked = self._run_link_stage(fp2, build_linked, resume=resume)
+        try:
+            linked = self._run_link_stage(fp2, build_linked, resume=resume)
+        finally:
+            # join before materialize (and on a link failure, before the
+            # exception propagates); a mention-stage failure lets the
+            # canon thread finish on its own — it writes only its own
+            # stage paths, idempotently, and is joined at interpreter
+            # shutdown (non-daemon)
+            canon_th.join()
         residual = self._read("links_residual")
 
         fp3 = self._fp3()
-        canon = self._canon_stage(resume)
+        if "err" in canon_box:
+            raise canon_box["err"]  # noqa: B904 — original stage error
+        canon = canon_box["df"]
 
         fp4 = fingerprint(fp2, fp3, "materialize")
         triples = self._run_stage(
