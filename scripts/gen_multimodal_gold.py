@@ -4,14 +4,23 @@ the driver's DuckDB oracle can SELECT the expected table instead of
 falling back to the rows-only check.
 
 All three tables are PURE-PYTHON recomputes — no Spark in this script.
-Independence caveat: the multimodal rows call the SAME
-make_asset/decode_features/rawv_decode codec functions the Spark
-operators call, so this gold verifies the Spark-side plumbing (schema,
-batching, per-row wiring), not the codecs — a codec bug would propagate
-identically into the gold.  The codecs are pinned separately by the
-hand-built scanline/filter fixtures and random-image differential tests
-in tests/test_multimodal.py.  kg_triples IS independent (second
-implementation: scripts/ref_interpreter.py).
+Independence tiers (round-6: PNG promoted to fully independent):
+
+* kg_triples — INDEPENDENT (second implementation:
+  scripts/ref_interpreter.py, a straight-line interpreter).
+* multimodal_meta, image rows — INDEPENDENT (round-5 verdict #4): the
+  gold decodes PNG with a SECOND decoder below (_gold_png_decode:
+  stdlib zlib inflate + a scalar per-spec unfilter loop, structurally
+  nothing like the operator's vectorized numpy unfilter) and computes
+  the 8 feature stats in its own _gold_image_features.  Only the
+  feature_csv CONTRACT formatter is shared — by design, it defines the
+  string surface both sides must produce.
+* multimodal_meta audio/video rows + multimodal_frames — these call the
+  SAME wav_decode/rawv_decode the operators call (the formats are
+  trivial fixed-layout containers); the codecs are pinned separately by
+  the hand-built scanline/filter fixtures and random differential tests
+  in tests/test_multimodal.py, so this gold verifies the Spark-side
+  plumbing (schema, batching, per-row wiring) for those kinds.
 
 * multimodal_meta:   make_asset + decode_features over the deterministic
   200-asset corpus (the same recompute the in-query ``decode_match``
@@ -52,6 +61,90 @@ from apt_bron_re_spark.operators.multimodal import (  # noqa: E402
 
 FIXTURES = REPO / "tests" / "fixtures"
 
+
+def _gold_png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """SECOND PNG decoder (gold-independence, round-5 verdict #4): stdlib
+    zlib inflate + a scalar per-byte unfilter transcribed directly from
+    the PNG 1.2 spec (section 6, filter types 0-4).  Shares NO decode
+    code with operators/multimodal.png_decode (which walks chunks with
+    CRC checks and unfilters via vectorized numpy) — a bug in either
+    implementation shows up as a gold mismatch instead of propagating.
+    Deliberately skips CRC verification (the operator's CRC path is
+    pinned by hand-built fixtures); structure errors raise."""
+    import zlib
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("gold: bad PNG signature")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        ct = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if ct == b"IHDR":
+            ihdr = body
+        elif ct == b"IDAT":
+            idat.extend(body)
+        elif ct == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("gold: missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype = ihdr[8], ihdr[9]
+    if depth != 8:
+        raise ValueError("gold: unsupported bit depth")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = bytearray()
+    prev = [0] * stride
+    p = 0
+    for _y in range(h):
+        ftype = raw[p]
+        line = raw[p + 1:p + 1 + stride]
+        p += 1 + stride
+        cur = [0] * stride
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0       # left
+            b = prev[x]                             # up
+            c = prev[x - ch] if x >= ch else 0      # up-left
+            v = line[x]
+            if ftype == 0:
+                r = v
+            elif ftype == 1:
+                r = (v + a) & 0xFF
+            elif ftype == 2:
+                r = (v + b) & 0xFF
+            elif ftype == 3:
+                r = (v + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                pp = a + b - c
+                pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = (a if pa_ <= pb_ and pa_ <= pc_
+                        else (b if pb_ <= pc_ else c))
+                r = (v + pred) & 0xFF
+            else:
+                raise ValueError(f"gold: bad filter {ftype}")
+            cur[x] = r
+        out.extend(cur)
+        prev = cur
+    return w, h, ch, bytes(out)
+
+
+def _gold_image_features(payload: bytes) -> list[float]:
+    """Second implementation of the image feature vector (the 8 stats
+    decode_features computes for kind == 'image'), over the second
+    decoder's pixels."""
+    w, h, c, pix = _gold_png_decode(payload)
+    a = np.frombuffer(pix, dtype=np.uint8).astype(np.float64) / 255.0
+    chans = a.reshape(-1, c)
+    return [float(w), float(h), float(c),
+            float(a.mean()), float(a.std()),
+            float(chans[:, 0].mean()),
+            float(chans[:, min(1, c - 1)].mean()),
+            float(chans[:, min(2, c - 1)].mean())]
+
+
 N_META = 200        # __spark_entry__.multimodal_meta corpus size
 N_FRAMES = 60       # __spark_entry__.multimodal_frames corpus size
 EVERY_MS = 400      # __spark_entry__.multimodal_frames sampling period
@@ -66,7 +159,9 @@ def gen_meta() -> None:
         rows["kind"].append(kind)
         rows["n_bytes"].append(len(payload))
         rows["payload_sha"].append(hashlib.sha256(payload).hexdigest())
-        rows["feature"].append(feature_csv(decode_features(payload, kind)))
+        feats = (_gold_image_features(payload) if kind == "image"
+                 else decode_features(payload, kind))
+        rows["feature"].append(feature_csv(feats))
         rows["err"].append(None)
         rows["decode_match"].append(True)
     table = pa.table({

@@ -126,3 +126,28 @@ def test_asset_features_are_content_derived(spark):
     a0 = mm.make_asset(0)
     want = mm.decode_features(a0[2], "image")
     assert feats[0].feature == pytest.approx(want, rel=1e-6)
+
+
+def test_gold_png_second_decoder_differential():
+    """Round-5 verdict #4: the gold generator's independent PNG decoder
+    (stdlib zlib + scalar per-spec unfilter) must agree byte-for-byte
+    with the operator decoder on the asset corpus — a bug in either
+    implementation surfaces here instead of propagating into the gold."""
+    import importlib.util as iu
+    from pathlib import Path
+    spec = iu.spec_from_file_location(
+        "gen_gold_mod",
+        Path(__file__).resolve().parents[1]
+        / "scripts" / "gen_multimodal_gold.py")
+    g = iu.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    n_img = 0
+    for i in range(60):
+        _aid, kind, payload, _meta = mm.make_asset(i)
+        if kind != "image":
+            continue
+        n_img += 1
+        assert g._gold_png_decode(payload) == mm.png_decode(payload)
+        assert (g._gold_image_features(payload)
+                == mm.decode_features(payload, "image"))
+    assert n_img >= 10  # the corpus mixes kinds; make sure we covered PNGs
