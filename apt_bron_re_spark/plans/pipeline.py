@@ -97,6 +97,7 @@ class Pipeline:
         self.catalog = catalog
         self.log = LineageLog(spark, base_dir)
         self._catalog_fp = fingerprint(layer_map)
+        self._record_threads: list = []   # deferred lineage-record scans
         if not catalog:
             self._check_layout()
 
@@ -298,15 +299,37 @@ class Pipeline:
     def _run_stage(self, stage: str, fp: str, build, name: str,
                    partition_by: list[str] | None = None,
                    resume: bool = True,
-                   pre_partitioned: bool = False) -> DataFrame:
+                   pre_partitioned: bool = False,
+                   record_async: bool = False) -> DataFrame:
+        """``record_async=True`` moves the lineage record's per-bucket
+        count scan (a full extra pass over the just-written table) off
+        the serial path onto a background thread, so the NEXT stage
+        starts immediately — the data write is already committed, which
+        is the only ordering the resume invariant needs (a crash before
+        the deferred append just re-runs the stage idempotently on
+        resume).  Appends are lock-serialized in LineageLog; the thread
+        is joined in _join_records() before run() returns."""
         if resume and self.log.is_complete(stage, fp):
             return self._read(name)
         t0 = time.time()
         df = build()
         self._write(df, name, partition_by, pre_partitioned=pre_partitioned)
         out = self._read(name)
-        self.log.record(stage, fp, out, time.time() - t0)
+        wall = time.time() - t0
+        if record_async:
+            import threading
+            th = threading.Thread(
+                target=lambda: self.log.record(stage, fp, out, wall),
+                name=f"lineage-record-{stage}")
+            th.start()
+            self._record_threads.append(th)
+        else:
+            self.log.record(stage, fp, out, wall)
         return out
+
+    def _join_records(self) -> None:
+        while self._record_threads:
+            self._record_threads.pop().join()
 
     def _run_link_stage(self, fp: str, build, resume: bool = True
                         ) -> DataFrame:
@@ -345,7 +368,14 @@ class Pipeline:
         if err:
             raise err[0]
         out = self._read("linked")
-        self.log.record("link", fp, out, time.time() - t0)
+        wall = time.time() - t0
+        # deferred like the mention record (_run_stage record_async):
+        # both writes are committed; the count scan overlaps materialize
+        rth = threading.Thread(
+            target=lambda: self.log.record("link", fp, out, wall),
+            name="lineage-record-link")
+        rth.start()
+        self._record_threads.append(rth)
         return out
 
     def _fp3(self) -> str:
@@ -442,7 +472,7 @@ class Pipeline:
                 lambda: self._bucketed(mention.detect_mentions(
                     filtered.select("url", "html"), self.layer_map,
                     from_html=True)),
-                "mentions", resume=resume)
+                "mentions", resume=resume, record_async=True)
         else:
             docs = self._run_stage(
                 "extract", fp0,
@@ -454,7 +484,7 @@ class Pipeline:
                 "mention", fp1,
                 lambda: self._bucketed(
                     mention.detect_mentions(docs.drop("pbucket"), self.layer_map)),
-                "mentions", resume=resume)
+                "mentions", resume=resume, record_async=True)
 
         fp2 = fingerprint(fp1, self.semantic, self.sim_threshold, "link")
 
@@ -537,6 +567,7 @@ class Pipeline:
                 materialize.evidence_rows(linked, residual, canon),
                 partitions=self.n_buckets),
             "triples", partition_by=["pred"], resume=resume)
+        self._join_records()
         return triples
 
     def triples(self) -> DataFrame:
