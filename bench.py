@@ -132,6 +132,23 @@ def main() -> None:
     # brackets below still record whatever window it actually got).
     quiet_wait = {"waited_s": 0.0, "opened": None}
     wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "300"))
+    # Fixed-work probe (scripts/calib.py) alongside the steal rate: steal
+    # only sees runnable-time theft, so a cycle-slowing window (frequency /
+    # co-location — round 6 measured ~1.22x walls under a quiet bracket)
+    # needs the probe-vs-min-ever-reference ratio to become visible.
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    try:
+        import calib
+    except ImportError:
+        calib = None
+
+    def _calib_ratio() -> float | None:
+        if calib is None:
+            return None
+        c = calib.cpu_calib_s()
+        return calib.degradation(c, calib.update_ref(c))
+
+    CALIB_GATE = 1.10
     if wait_budget > 0 and _steal_s() is not None:
         RATE, WINDOW, POLL = 0.05, 20.0, 5.0
         t_start = time.time()
@@ -145,7 +162,12 @@ def main() -> None:
             if rate < RATE:
                 quiet_since = quiet_since or t_now
                 if t_now - quiet_since >= WINDOW:
+                    ratio = _calib_ratio()
+                    if ratio is not None and ratio > CALIB_GATE:
+                        quiet_since = None  # steal-quiet but degraded
+                        continue
                     quiet_wait["opened"] = True
+                    quiet_wait["calib_ratio"] = ratio
                     break
             else:
                 quiet_since = None
@@ -197,6 +219,7 @@ def main() -> None:
     MAX_KG_REPS = 4
     kg_reps: list[dict] = []
     kg_wall, n_triples = None, 0
+    best_kg_calib = None
     for _rep in range(MAX_KG_REPS):
         workdir = tempfile.mkdtemp(prefix="bench_kg_")
         s0 = _steal_s()
@@ -207,11 +230,13 @@ def main() -> None:
         s1 = _steal_s()
         rep_steal = (round(s1 - s0, 1)
                      if s0 is not None and s1 is not None else None)
+        rep_calib = _calib_ratio()
         kg_reps.append({"wall_s": round(wall, 3), "steal_s": rep_steal,
-                        "stages": stages})
+                        "calib_ratio": rep_calib, "stages": stages})
         if kg_wall is None or wall < kg_wall:
-            kg_wall, n_triples = wall, n
-        if _rep + 1 >= MIN_REPS and quiet(wall, rep_steal):
+            kg_wall, n_triples, best_kg_calib = wall, n, rep_calib
+        healthy = rep_calib is None or rep_calib <= CALIB_GATE
+        if _rep + 1 >= MIN_REPS and quiet(wall, rep_steal) and healthy:
             break
     timings["kg_pipeline"] = round(kg_wall, 3)
     query_reps["kg_pipeline"] = kg_reps
@@ -256,6 +281,7 @@ def main() -> None:
         "n_triples": n_triples,
         "loadavg_end": load1,
         "steal_total_s": steal_s,
+        "calib_ratio": best_kg_calib,
         "quiet_wait": quiet_wait,
         "kg_reps": kg_reps,
         "reps_sidecar": reps_out,

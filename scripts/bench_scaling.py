@@ -30,6 +30,8 @@ REPO = Path(__file__).resolve().parents[1]
 RUNNER = r"""
 import json, os, sys, tempfile, time
 sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo!r} + "/scripts")
+from calib import cpu_calib_s
 os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 from apt_bron_re_spark.session import get_spark
@@ -132,6 +134,13 @@ def _host_busy():
     return (int(f[1]) + int(f[2]) + int(f[3]) + int(f[6])
             + int(f[7])) / os.sysconf("SC_CLK_TCK")
 
+# Fixed-work single-thread probe bracketing the timed span: vCPU steal
+# only sees runnable-time theft, so a window where the hypervisor merely
+# slows cycles (frequency / co-location) reads as quiet-but-degraded —
+# round 6 measured every stage at ~1.22x baseline under a 5.9 s steal
+# bracket.  The probe ratio vs the min-ever reference (calib.py) makes
+# those windows visible in the artifact.
+calib_in = cpu_calib_s()
 load_in, steal_in = _host_noise()
 cpu0, hb0, cg0 = _cpu_tree_seconds(), _host_busy(), _cg_cpu_s()
 t0 = time.time()
@@ -146,6 +155,7 @@ triples = pipe.run(pages, resume=True)
 n = triples.count()
 wall = time.time() - t0
 load_out, steal_out = _host_noise()
+calib_out = cpu_calib_s()
 # CPU seconds burned by the JVM + Python workers during the timed span:
 # noise-robust evidence of achieved parallelism (cpu_s / wall), where
 # wall-clock ratios swing +-25% with shared-host scheduling.
@@ -186,6 +196,8 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "wall_s": round(wall, 2),
                                "n_pages": {n_pages}, "stages": stages,
                                "loadavg_in": load_in,
                                "loadavg_out": load_out,
+                               "calib_in_s": round(calib_in, 4),
+                               "calib_out_s": round(calib_out, 4),
                                "steal_s": round(steal_out - steal_in, 1)}}))
 if CG is not None:
     # best-effort teardown: stop the JVM, move self to the root cgroup,
@@ -228,7 +240,15 @@ def run_level(cpus: int, n_pages: int, shuffle: int, page_scale: int,
     _sweep_cgroups()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            try:
+                import calib
+                probes = [r.get("calib_in_s"), r.get("calib_out_s")]
+                c = min(p for p in probes if p)
+                r["calib_ratio"] = calib.degradation(c, calib.update_ref(c))
+            except (ImportError, ValueError):
+                r["calib_ratio"] = None
+            return r
     raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
 
 
@@ -242,7 +262,14 @@ def _level_reps(cpus: int, n_pages: int, shuffle: int, page_scale: int,
     rep didn't stop the loop and day-long protocol runs burned the full
     budget) or the budget is exhausted.  Best-throughput rep is kept (host
     noise only ever SLOWS a rep, so best == closest to the code's speed);
-    every rep's bracket is recorded in the result under "reps"."""
+    every rep's bracket is recorded in the result under "reps".
+
+    A quiet rep must ALSO probe healthy (calib_ratio <= the gate, vs the
+    min-ever fixed-work reference): round 6 hit a window with a 5.9 s
+    steal bracket where every stage ran ~1.22x baseline — cycle-slowing
+    interference that the steal counter structurally cannot see.  No
+    reference yet (ratio None) passes: there is nothing to compare to."""
+    CALIB_GATE = 1.10
     best, reps = None, []
     for rep in range(max_reps):
         print(f"[scaling] running local[{cpus}] on {n_pages} pages "
@@ -251,10 +278,14 @@ def _level_reps(cpus: int, n_pages: int, shuffle: int, page_scale: int,
         r = run_level(cpus, n_pages, shuffle, page_scale, hub_rate)
         print(f"[scaling] {r}", flush=True)
         reps.append({"wall_s": r["wall_s"], "steal_s": r.get("steal_s"),
+                     "calib_ratio": r.get("calib_ratio"),
                      "triples_per_sec": r["triples_per_sec"]})
         if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
             best = r
-        if rep + 1 >= min_reps and r.get("steal_s", 99) < steal_gate_s:
+        healthy = (r.get("calib_ratio") is None
+                   or r["calib_ratio"] <= CALIB_GATE)
+        if (rep + 1 >= min_reps and r.get("steal_s", 99) < steal_gate_s
+                and healthy):
             break
     best["reps"] = reps
     return best
