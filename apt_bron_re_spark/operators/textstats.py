@@ -43,6 +43,43 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      rates: dict[str, float],
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling.
+
+    Keeps a row iff the first two hex chars of ``md5(key)`` fall below
+    the stratum's threshold — the standard way to take a reproducible
+    subsample of a web-scale corpus: the predicate is a scan-local
+    filter on a hash of a stable key (no shuffle, no RNG state, no
+    seed-per-partition coupling like ``df.sample``), the SAME rows are
+    selected on every run, engine, and partitioning, and membership is
+    stable under corpus growth (a doc's bucket never changes, so an
+    incremental run samples exactly the old rows plus its share of the
+    new).  Rate granularity is 1/256 per stratum (two hex chars);
+    thresholds compare lexicographically, which is identical for
+    lowercase-hex strings across engines — the DuckDB oracle replays
+    the exact predicate.
+
+    Appends ``sample_bucket`` (the hex bucket) so the selection is
+    auditable row-by-row.
+    """
+    def _thr(rate: float) -> str:
+        t = round(max(0.0, min(1.0, rate)) * 256)
+        # 'g' sorts after every hex char: rate 1.0 keeps ALL buckets
+        # ('ff' < '100' is false lexicographically, so a plain hex
+        # threshold cannot express "keep everything")
+        return "g" if t >= 256 else format(t, "02x")
+
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    thr = F.lit(_thr(default_rate))
+    for stratum in sorted(rates, reverse=True):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(_thr(rates[stratum]))).otherwise(thr)
+    return (df.withColumn("sample_bucket", bucket)
+            .filter(F.col("sample_bucket") < thr))
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, stopword
     ratio, mean word length, distinct-token ratio."""

@@ -390,6 +390,19 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-threshold stratified sampling
+    (textstats.stratified_sample): keep 50% of en docs, 20% of de, 10%
+    of every other language — reproducibly, via a scan-local filter on
+    md5(doc_id) hex buckets (no shuffle, no RNG; the same rows come
+    back on every run, engine, and partitioning)."""
+    from .operators.textstats import stratified_sample
+    docs = load(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "doc_id", "lang",
+                              {"en": 0.5, "de": 0.2}, default_rate=0.1)
+            .select("doc_id", "lang", "sample_bucket"))
+
+
 def q_lang_stats(spark, sf_dir):
     """Language-ID downstream stats: docs + mean length per lang."""
     docs = load(spark, sf_dir, "documents")
@@ -921,6 +934,18 @@ ORACLES: dict[str, str] = {
                ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
         FROM documents GROUP BY lang
     """,
+    # thresholds = round(rate * 256) as two lowercase hex chars:
+    # en 0.5 -> 0x80, de 0.2 -> 0x33, default 0.1 -> 0x1a; lowercase-hex
+    # lexicographic compare is engine-identical (see stratified_sample)
+    "stratified_sample": """
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_bucket
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE WHEN lang = 'en' THEN '80'
+                   WHEN lang = 'de' THEN '33'
+                   ELSE '1a' END
+    """,
 }
 
 
@@ -1160,6 +1185,7 @@ SPARK_QUERIES = {
     "fingerprint_exact": q_fingerprint_exact,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "quality_score": q_quality_score,
+    "stratified_sample": q_stratified_sample,
     "lang_stats": q_lang_stats,
     "lang_id_pred": q_lang_id_pred,
     "connected_components": q_connected_components,

@@ -247,6 +247,40 @@ def test_textstats(docs):
     assert li[0].pred_lang == "en"
 
 
+def test_stratified_sample(spark):
+    """Hash-threshold sampling: deterministic membership, threshold
+    semantics exact per row, rates honored within hash variance, rate
+    1.0 / 0.0 edge strata, and invariance under repartitioning (the
+    no-RNG property df.sample does not have)."""
+    import hashlib
+    rows = [(i, "en" if i % 2 == 0 else "xx") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = textstats.stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5}, default_rate=0.1)
+    got = {(r.doc_id, r.sample_bucket) for r in out.collect()}
+    # exact oracle: same predicate in pure python
+    want = set()
+    for i, lang in rows:
+        b = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        if b < ("80" if lang == "en" else "1a"):
+            want.add((i, b))
+    assert got == want
+    n_en = sum(1 for i, b in got if i % 2 == 0)
+    n_xx = len(got) - n_en
+    assert abs(n_en / 1000 - 0.5) < 0.06        # 128/256 nominal
+    assert abs(n_xx / 1000 - 26 / 256) < 0.04   # 0.1 -> 26/256 nominal
+    # repartitioning must not change membership (no RNG/seed coupling)
+    out2 = textstats.stratified_sample(
+        df.repartition(7, "lang"), "doc_id", "lang",
+        {"en": 0.5}, default_rate=0.1)
+    assert {(r.doc_id, r.sample_bucket) for r in out2.collect()} == got
+    # edge strata: 1.0 keeps every row ('g' sentinel), 0.0 keeps none
+    full = textstats.stratified_sample(
+        df, "doc_id", "lang", {"en": 1.0}, default_rate=0.0)
+    kept = full.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in kept} == {"en": 1000}
+
+
 def test_fingerprint_shared_passages(docs):
     pairs = {(r.a_id, r.b_id) for r in
              textstats.shared_passage_pairs(docs, min_shared=1).collect()}
