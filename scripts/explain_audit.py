@@ -321,6 +321,16 @@ def main() -> None:
     ))
     shutil.rmtree(td, ignore_errors=True)
 
+    # 23. stratified_sample: scan-local hash-threshold filter — the whole
+    # query must be one codegen span with the schema pruned to the two
+    # consumed columns (the text column never read) and zero exchanges
+    p = plan_of(SPARK_QUERIES["stratified_sample"](spark, SF_DIR))
+    checks.append((
+        "stratified_sample (deterministic hash-threshold sampling)", p,
+        ["ReadSchema: struct<doc_id:bigint,lang:string>", "Filter"],
+        ["Exchange", "text#"],
+    ))
+
     lines = ["# PLANS — physical-plan audit (explain(\"formatted\"))", "",
              "Generated by scripts/explain_audit.py; each section lists the "
              "properties the plan MUST have for the 100 TB design point, "
