@@ -58,6 +58,7 @@ HEADLINE = [
     "embedding_near_dups",
     "connected_components",
     "lang_id_pred",
+    "stratified_sample",     # deterministic hash-threshold sampling (round 6)
 ]
 
 # pages per unit scale factor for the synthetic KG corpus
