@@ -148,11 +148,68 @@ def alias_edges(layer_map: dict[str, list[dict]]) -> list[tuple[str, str]]:
     return edges
 
 
+# Above this many alias edges the canonical map is built with the
+# distributed salted CC; at or below it, driver-side union-find.  The
+# alias graph is a CATALOG-derived dimension whose edge list
+# ``alias_edges`` already materializes as a python list on the driver —
+# for a dimension-sized list, shipping it to the cluster to run 4
+# rounds of self-joins is ~5 s of pure fixed job latency (the same
+# driver-side-the-small-stuff lesson as the round-6 pyarrow lineage
+# appends), while union-find is O(E a(E)) in microseconds.  Data-sized
+# graphs (or a truly huge catalog) still take the salted
+# pointer-jumping path — the north-star mechanism — unchanged.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_canon_rows(edges: list[tuple[str, str]]) -> list[tuple[str, str, str]]:
+    """Union-find over the alias edge list; returns sorted
+    (label, original_id, canon_id) rows — semantically identical to the
+    distributed path (same node universe: only nodes appearing in
+    edges; canon_id = min original_id per (component, label))."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+
+    groups: dict[tuple[str, str], list[str]] = {}
+    for s, _d in edges:                       # id-nodes are edge sources
+        if ":~" in s:
+            continue
+        label, oid = s.split(":", 1)
+        groups.setdefault((find(s), label), []).append(oid)
+    rows = []
+    for (_root, label), oids in groups.items():
+        canon = min(oids)
+        rows.extend((label, oid, canon) for oid in set(oids))
+    return sorted(rows)
+
+
 def canonical_map(spark, layer_map: dict[str, list[dict]],
                   max_iter: int = 25) -> DataFrame:
     """(label, original_id, canon_id): canon_id = lexicographically-min
-    original_id among alias-connected nodes of the same label."""
-    edges = spark.createDataFrame(alias_edges(layer_map), "src string, dst string")
+    original_id among alias-connected nodes of the same label.
+
+    Size-adaptive: dimension-sized alias graphs (<= DRIVER_CC_MAX_EDGES,
+    every real catalog) resolve driver-side via union-find; larger
+    graphs run the distributed salted pointer-jumping CC.  Both paths
+    produce identical rows (pinned by test_canonicalize's parity test).
+    """
+    edge_list = alias_edges(layer_map)
+    if len(edge_list) <= DRIVER_CC_MAX_EDGES:
+        return spark.createDataFrame(
+            _driver_canon_rows(edge_list),
+            "label string, original_id string, canon_id string")
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
     # id <-> surface bipartite graph: component diameter <= ~8 even with
     # chained shared aliases; 4 pointer-jumped rounds cover 2^4 hops.
     comp = connected_components(edges, max_iter=max_iter, partitions=4,

@@ -1,7 +1,10 @@
 """Stage-4 connected-components tests: generic operator on a skewed graph
 (FIXTURES.md §7) and the alias-graph canonical map."""
 
+import apt_bron_re_spark.operators.canonicalize as canonicalize
 from apt_bron_re_spark.operators.canonicalize import (
+    _driver_canon_rows,
+    alias_edges,
     canonical_map,
     connected_components,
 )
@@ -40,3 +43,34 @@ def test_canonical_map_merges_shared_alias(spark, layer_map):
     assert canon[("capec", "CAPEC-98")] == "CAPEC-98"
     # an alias-free group maps to itself
     assert canon[("group", "G0107")] == "G0107"
+
+
+def test_canonical_map_driver_vs_distributed_parity(spark, layer_map,
+                                                    monkeypatch):
+    """The size-adaptive dispatch must be invisible: the driver-side
+    union-find fast path and the distributed salted CC path produce the
+    IDENTICAL row set on the same catalog (this is what lets the canon
+    cache fingerprint skip a CANON_ALGO_VERSION bump)."""
+    fast = set(map(tuple, _driver_canon_rows(alias_edges(layer_map))))
+    # force the distributed path by making every edge list "too big"
+    monkeypatch.setattr(canonicalize, "DRIVER_CC_MAX_EDGES", -1)
+    slow = {(r.label, r.original_id, r.canon_id)
+            for r in canonical_map(spark, layer_map).collect()}
+    assert fast == slow and fast
+
+
+def test_driver_canon_rows_union_find():
+    """Pure union-find semantics on a crafted graph: transitive merge
+    through a shared surface node, label isolation, dedup of repeated
+    edges, min-id canon selection."""
+    edges = [
+        ("group:G2", "group:~apt x"), ("group:G1", "group:~apt x"),
+        ("group:G1", "group:~apt x"),             # duplicate edge
+        ("group:G3", "group:~other"),
+        ("tool:G1", "tool:~apt x t"),             # same oid, other label
+    ]
+    rows = _driver_canon_rows(edges)
+    assert rows == [
+        ("group", "G1", "G1"), ("group", "G2", "G1"),
+        ("group", "G3", "G3"), ("tool", "G1", "G1"),
+    ]
