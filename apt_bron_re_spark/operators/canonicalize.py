@@ -37,13 +37,41 @@ from pyspark.sql import functions as F
 CANON_ALGO_VERSION = 1
 
 
+def _union_find_components(pairs: list[tuple[str, str]]
+                           ) -> list[tuple[str, str]]:
+    """Union-find over an edge list; returns (id, component) for every
+    node appearing in any edge, component = min id — the same output
+    contract as the distributed rounds.  Union always keeps the smaller
+    root as parent, so every tree's root IS the component minimum."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in pairs:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    nodes = set()
+    for s, d in pairs:
+        nodes.add(s)
+        nodes.add(d)
+    return sorted((n, find(n)) for n in nodes)
+
+
 def connected_components(edges: DataFrame,
                          src: str = "src",
                          dst: str = "dst",
                          max_iter: int = 25,
                          n_salts: int = 8,
                          partitions: int | None = None,
-                         fixed_rounds: int | None = None) -> DataFrame:
+                         fixed_rounds: int | None = None,
+                         driver_max_edges: int | None = None) -> DataFrame:
     """edges(src, dst) -> (id, component); component = min id in component.
 
     Ids are strings.  The edge list is treated as undirected.
@@ -54,7 +82,27 @@ def connected_components(edges: DataFrame,
     correct whenever rounds >= ceil(log2(diameter)) + 1 (pointer jumping
     halves path lengths per round); use it when the graph's diameter bound
     is known (the alias graph's is) to cut scheduler latency.
-    """
+
+    ``driver_max_edges`` (round 7): opt-in size-adaptive driver path —
+    the round-6 canonical_map lesson generalized.  When set, the edge
+    list is probed with ``limit(driver_max_edges + 1).collect()``; if it
+    fits, union-find resolves it driver-side in microseconds instead of
+    paying ~1 s of fixed job latency PER ROUND for a dimension-sized
+    graph (the distributed rounds cost ~5 shuffles each).  A graph over
+    the cap falls through to the distributed salted pointer-jumping path
+    UNCHANGED — that is the 100 TB mechanism; the probe costs it one
+    bounded collect.  Callers opt in per graph (pass a cap sized to
+    driver memory) because only the caller knows whether its edge list
+    is dimension-sized (catalog graphs, verified near-dup pairs) or
+    data-sized (raw corpus joins).  Output rows are identical on both
+    paths (parity-tested)."""
+    if driver_max_edges:
+        probe = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                 .limit(driver_max_edges + 1).collect())
+        if len(probe) <= driver_max_edges:
+            rows = _union_find_components([(r["a"], r["b"]) for r in probe])
+            return edges.sparkSession.createDataFrame(
+                rows, "id string, component string")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -48,6 +48,98 @@ def cosine_expr(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _seq_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """All-pairs dot products with the EXACT summation order of the JVM
+    fold ``F.aggregate(zip_with(a, b, ...), 0.0, acc + x)``: one
+    vectorized add per dimension, left to right, so every pair's
+    accumulator sees the identical IEEE-754 operation sequence and the
+    result is bit-for-bit the fold's.  (A BLAS matmul sums in a
+    different order — fine for prefilters with a margin, not for values
+    that feed a round()+threshold compare directly.)"""
+    out = np.zeros((A.shape[0], B.shape[0]))
+    for k in range(A.shape[1]):
+        out += np.multiply.outer(A[:, k], B[:, k])
+    return out
+
+
+def _seq_sq_norms(M: "np.ndarray") -> "np.ndarray":
+    """Self dot products, same sequential-fold order as ``_seq_dots``."""
+    out = np.zeros(M.shape[0])
+    for k in range(M.shape[1]):
+        out += M[:, k] * M[:, k]
+    return out
+
+
+def cosine_cross_pairs(a: DataFrame, b: DataFrame, threshold: float,
+                       round_dp: int = 3,
+                       a_id: str = "a_id", a_vec: str = "a_emb",
+                       b_id: str = "b_id", b_vec: str = "b_emb"
+                       ) -> DataFrame:
+    """Vectorized broadcast nested-loop cosine θ-join (the L4 shape):
+    every (a, b) pair with ``round(cos, round_dp) >= threshold``.
+
+    Replaces ``a.crossJoin(F.broadcast(b))`` + the per-row interpreted
+    ``cosine_expr`` fold with a ``mapInPandas`` over the a-side and a
+    numpy batch kernel against the driver-collected b-side — the same
+    rows move (b was already broadcast-collected by the old plan; only
+    where the per-pair flops run changes), but the O(|a| x |b|)
+    arithmetic is vectorized and spreads over every core instead of the
+    scan's 1-2 file splits.
+
+    Equivalence contract (results are IDENTICAL, not approximately so):
+      * dot products and norms accumulate in the fold's exact order
+        (``_seq_dots``) on the same float->double casts, so the raw
+        cosine double is bit-identical to the old expression's;
+      * round + threshold stay in Spark, unchanged;
+      * the Python-side gate keeps every row the rounded filter could
+        keep (gate = threshold - 0.6*10^-round_dp < the HALF_UP
+        boundary threshold - 0.5*10^-round_dp).
+
+    Degenerate zero-norm vectors (no real embedding table has them) are
+    the one divergence: the old JVM division raised DIVIDE_BY_ZERO
+    under ANSI mode — no result existed — while here the NaN cosine
+    crosses Arrow as NULL and the unchanged filter drops the pair, so
+    the query completes with the finite pairs.
+    """
+    spark = a.sparkSession
+    b_rows = b.select(b_id, b_vec).collect()
+    id_type = a.schema[a_id].dataType.simpleString()
+    out_schema = f"{a_id} {id_type}, {b_id} {id_type}, cos_raw double"
+    if not b_rows:
+        empty = spark.createDataFrame([], out_schema)
+        return (empty.select(a_id, b_id,
+                             F.round("cos_raw", round_dp).alias("cos_sim"))
+                .filter(F.col("cos_sim") >= threshold))
+    b_ids = np.array([r[b_id] for r in b_rows])
+    B = np.array([r[b_vec] for r in b_rows], dtype=np.float64)
+    b_norm = np.sqrt(_seq_sq_norms(B))
+    gate = threshold - 0.6 * (10.0 ** -round_dp)
+    bc = spark.sparkContext.broadcast((b_ids, B, b_norm))
+
+    def gen(batches):
+        b_ids_, B_, b_norm_ = bc.value
+        for pdf in batches:
+            pdf = pdf[pdf[a_vec].notna()]
+            if pdf.empty:
+                continue
+            A = np.stack(pdf[a_vec].to_numpy()).astype(np.float64)
+            aid = pdf[a_id].to_numpy()
+            cos = _seq_dots(A, B_) / (np.sqrt(_seq_sq_norms(A))[:, None]
+                                      * b_norm_[None, :])
+            with np.errstate(invalid="ignore"):
+                keep = ~(cos < gate)          # NaN-inclusive superset
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame({a_id: aid[ii], b_id: b_ids_[jj],
+                                "cos_raw": cos[ii, jj]})
+
+    par = spark.sparkContext.defaultParallelism
+    raw = (a.select(a_id, a_vec).repartition(par)
+           .mapInPandas(gen, out_schema))
+    return (raw.select(a_id, b_id,
+                       F.round("cos_raw", round_dp).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id", q_vec_col: str = "q_emb",
@@ -123,7 +215,32 @@ def embedding_near_pairs(vectors: DataFrame, dim: int,
     collisions stay at n^2/1024 per table — near-linear candidates.
     WIDE buckets (e.g. the ANN default 20x4) make the candidate set
     approach all-pairs on large corpora: only use them with LOW
-    thresholds on small/filtered inputs."""
+    thresholds on small/filtered inputs.
+
+    Size/regime-adaptive plan choice (round 7): when the bucket regime
+    is DENSE — the expected random collisions per vector,
+    (n-1)*(1 - (1 - 2^-n_planes)^n_tables), reach ~all-pairs territory —
+    the equi-join plan degenerates: at sf1.0 (20k vectors, 20x4 buckets)
+    ~72% of all pairs collide somewhere, so the join + dropDuplicates
+    materializes ~140M pair rows and then shuffles two 64-float arrays
+    onto each of them for the verify (measured 375 s).  For that regime,
+    when the corpus side also fits a broadcast (<= _DENSE_MAX_VECTORS),
+    ``_near_pairs_dense`` computes the SAME candidate predicate
+    per-pair with numpy (exact integer bucket grid + a margin-gated BLAS
+    cosine prefilter) and hands only the surviving pairs to the
+    UNCHANGED exact JVM verify — identical rows, no 140M-row shuffle.
+    The narrow-bucket regime (the real 100 TB near-dup setting, e.g. the
+    16x10 default) and anything bigger than the broadcast budget keep
+    the LSH equi-join plan untouched — that is the scale path; the dense
+    path is the right plan only where candidates ~ all pairs, exactly as
+    this docstring already warned."""
+    n_vec = vectors.count()
+    p_collide = 1.0 - (1.0 - 0.5 ** n_planes) ** n_tables
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    if (n_vec <= _DENSE_MAX_VECTORS and (n_vec - 1) * p_collide >= 8.0
+            and id_type in ("bigint", "int")):
+        return _near_pairs_dense(vectors, dim, threshold, n_tables,
+                                 n_planes, id_col, vec_col)
     bands = (lsh_signatures(vectors, dim, n_tables, n_planes, vec_col)
              .select(id_col, F.posexplode("buckets").alias("tbl", "bucket")))
     a = bands.select(F.col(id_col).alias("a_id"), "tbl", "bucket")
@@ -134,6 +251,101 @@ def embedding_near_pairs(vectors: DataFrame, dim: int,
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    va = vectors.select(F.col(id_col).alias("a_id"),
+                        F.col(vec_col).alias("a_emb"))
+    vb = vectors.select(F.col(id_col).alias("b_id"),
+                        F.col(vec_col).alias("b_emb"))
+    sim = F.round(cosine_expr(F.col("a_emb"), F.col("b_emb")), 4)
+    return (pairs.join(va, "a_id").join(vb, "b_id")
+            .select("a_id", "b_id", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+# Dense-path broadcast budget: ids + float64 matrix + bucket table for
+# 2^18 vectors of dim 64 is ~150 MB — comfortably under executor memory,
+# far over every all-pairs-regime corpus this path is for.
+_DENSE_MAX_VECTORS = 1 << 18
+
+
+def _near_pairs_dense(vectors: DataFrame, dim: int, threshold: float,
+                      n_tables: int, n_planes: int,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """Dense-regime twin of the LSH candidate join (see
+    ``embedding_near_pairs``): per-pair evaluation of the IDENTICAL
+    candidate predicate — "collides in >= 1 of the n_tables exact
+    integer-grid buckets" — plus a superset cosine prefilter, then the
+    unchanged exact JVM verify.
+
+    Exactness:
+      * buckets are computed with the same integer quantization and
+        plane matrix as ``lsh_signatures`` (integer dots are exact in
+        float64 in any summation order), so bucket equality is
+        bit-identical to the equi-join's keys;
+      * the BLAS cosine is a PREFILTER ONLY, gated at
+        threshold - 1.1e-4: the final filter keeps a pair iff
+        round(cos_fold, 4) >= threshold, i.e. cos_fold >= threshold -
+        0.5e-4, and |cos_blas - cos_fold| <= ~2*dim*eps ~ 3e-14 (the
+        absolute dot error is bounded by dim*eps*|a||b| via
+        Cauchy-Schwarz), so every pair the final filter could keep
+        passes the gate with >= 5.9e-5 slack; NaN/Inf prefilter cosines
+        are kept as candidates (zero-norm vectors then hit the same
+        ANSI DIVIDE_BY_ZERO in the JVM verify the old plan raised —
+        identical behavior even on degenerate input);
+      * the final ``round(cosine_expr, 4) >= threshold`` runs in Spark,
+        unchanged, on the surviving pairs only.
+    """
+    spark = vectors.sparkSession
+    planes = hyperplanes(dim, n_tables, n_planes)
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def buckets_of(M: "np.ndarray") -> "np.ndarray":
+        q = np.floor(M * QUANT + 0.5)
+        bits = (q @ flat.T) > 0
+        return (bits.reshape(len(M), n_tables, n_planes)
+                @ weights).astype(np.int32)
+
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    bk = buckets_of(M)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+    gate = threshold - 1.1e-4
+    bc = spark.sparkContext.broadcast((ids, M, bk, norms))
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        ids_, M_, bk_, norms_ = bc.value
+        n = len(ids_)
+        # bound each worker's m x n cosine slab to ~128 MB
+        chunk = max(16, 16_000_000 // max(n, 1))
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            A_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            aid_all = pdf[id_col].to_numpy()
+            abk_all = buckets_of(A_all)
+            for s in range(0, len(aid_all), chunk):
+                A = A_all[s:s + chunk]
+                aid = aid_all[s:s + chunk]
+                abk = abk_all[s:s + chunk]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    a_norm = np.sqrt(np.einsum("ij,ij->i", A, A))
+                    cos = (A @ M_.T) / (a_norm[:, None] * norms_[None, :])
+                    cand = ~(cos < gate)      # NaN-inclusive superset
+                cand &= aid[:, None] < ids_[None, :]
+                ii, jj = np.nonzero(cand)
+                if ii.size:
+                    # >=1 shared bucket — the LSH join's exact predicate
+                    hit = (abk[ii] == bk_[jj]).any(axis=1)
+                    ii, jj = ii[hit], jj[hit]
+                yield pd.DataFrame({"a_id": aid[ii], "b_id": ids_[jj]})
+
+    par = spark.sparkContext.defaultParallelism
+    pairs = (vectors.select(id_col, vec_col).repartition(par)
+             .mapInPandas(gen, f"a_id {id_type}, b_id {id_type}"))
     va = vectors.select(F.col(id_col).alias("a_id"),
                         F.col(vec_col).alias("a_emb"))
     vb = vectors.select(F.col(id_col).alias("b_id"),
@@ -163,20 +375,41 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     """(id, c_id): each vector assigned to the centroid maximizing the
     quantized-integer inner product (ties -> smallest centroid id).
 
-    The standard IVF coarse-quantization pass: n x n_centroids dot
-    products, centroids broadcast, argmax via an algebraic max(struct)
-    aggregation (map-side combined — the shuffle carries ONE row per
-    vector per map partition, never the n x k cross join)."""
-    v = vectors.select(F.col(id_col), _quant(F.col(vec_col)).alias("v_q"))
-    best = (
-        v.crossJoin(F.broadcast(centroids))
-        .select(id_col,
-                F.struct(_idot(F.col("v_q"), F.col("c_q")).alias("ip"),
-                         (-F.col("c_id")).alias("neg_c")).alias("s"))
-        .groupBy(id_col)
-        .agg(F.max("s").alias("s"))
-    )
-    return best.select(id_col, (-F.col("s.neg_c")).alias("c_id"))
+    The standard IVF coarse-quantization pass, vectorized (round 7): the
+    centroid table is dimension-sized by contract (the old plan already
+    F.broadcast it), so it is collected once and each Arrow batch of
+    vectors computes ALL its inner products with one numpy matmul.  The
+    n x k cross join + per-row interpreted integer fold + max(struct)
+    aggregation this replaces was the whole cost of ivf_topk (measured
+    130 s of 130 s at sf1.0); the matmul is milliseconds and the plan
+    loses its Exchange (no aggregation needed — the argmax is local to
+    the row).
+
+    Bit-exactness: both grids are integers (|q| <= ~1000 per component,
+    dim-64 dots < 2^53), so the float64 matmul is EXACT regardless of
+    summation order — the same engine-exactness argument the DuckDB
+    oracle relies on.  Centroids are sorted by c_id and np.argmax takes
+    the FIRST maximum, which reproduces the old max(struct(ip, -c_id))
+    smallest-c_id tie-break identically."""
+    c_rows = sorted(centroids.select("c_id", "c_q").collect(),
+                    key=lambda r: r["c_id"])
+    if not c_rows:
+        return vectors.select(F.col(id_col)).limit(0).withColumn(
+            "c_id", F.lit(None).cast("long"))
+    c_ids = np.array([r["c_id"] for r in c_rows], dtype=np.int64)
+    C = np.array([r["c_q"] for r in c_rows], dtype=np.float64)
+    bc = vectors.sparkSession.sparkContext.broadcast((c_ids, C))
+
+    @F.pandas_udf(T.LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        c_ids_, C_ = bc.value
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        q = np.floor(M * QUANT + 0.5)          # the exact integer grid
+        ip = q @ C_.T                          # integer-exact in float64
+        return pd.Series(c_ids_[np.argmax(ip, axis=1)])
+
+    return vectors.select(F.col(id_col),
+                          assign(F.col(vec_col)).alias("c_id"))
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,

@@ -85,8 +85,15 @@ class LineageLog:
             Path(self.path).mkdir(parents=True, exist_ok=True)
             fname = (f"part-lineage-{os.getpid()}-{time.time_ns()}"
                      ".snappy.parquet")
-            pq.write_table(table, str(Path(self.path) / fname),
-                           compression="snappy")
+            # kill-safe append (round-7, ADVICE r6): write under a
+            # dot-prefixed name (Spark/parquet readers ignore '.'/'_'
+            # files) and rename into place — a kill mid-write leaves an
+            # invisible temp instead of a truncated visible part file
+            # that would poison every later _read() and silently disable
+            # resume.  rename() is atomic within the directory.
+            tmp = Path(self.path) / f".{fname}.tmp"
+            pq.write_table(table, str(tmp), compression="snappy")
+            os.rename(tmp, Path(self.path) / fname)
 
     def _read(self) -> DataFrame | None:
         try:

@@ -317,19 +317,42 @@ class Pipeline:
         out = self._read(name)
         wall = time.time() - t0
         if record_async:
-            import threading
-            th = threading.Thread(
-                target=lambda: self.log.record(stage, fp, out, wall),
-                name=f"lineage-record-{stage}")
-            th.start()
-            self._record_threads.append(th)
+            self._spawn_record(stage, lambda: self.log.record(
+                stage, fp, out, wall))
         else:
             self.log.record(stage, fp, out, wall)
         return out
 
+    def _spawn_record(self, stage: str, fn) -> None:
+        """Run a deferred lineage record on a background thread, capturing
+        any exception so _join_records can surface it (ADVICE r6: a
+        silently-failed record leaves the stage's summary row missing —
+        run() would report success while the next resume re-runs the
+        stage and bench stage-wall attribution comes up short)."""
+        import threading
+        box: list[BaseException] = []
+
+        def _run() -> None:
+            try:
+                fn()
+            except BaseException as exc:
+                box.append(exc)
+
+        th = threading.Thread(target=_run, name=f"lineage-record-{stage}")
+        th.start()
+        self._record_threads.append((th, box))
+
     def _join_records(self) -> None:
+        import warnings
         while self._record_threads:
-            self._record_threads.pop().join()
+            th, box = self._record_threads.pop()
+            th.join()
+            if box:
+                warnings.warn(
+                    f"deferred lineage record {th.name!r} failed: "
+                    f"{box[0]!r} — the stage's summary row is missing, so "
+                    "the next resume will re-run that stage (idempotent) "
+                    "and its per-stage wall is absent from metrics()")
 
     def _run_link_stage(self, fp: str, build, resume: bool = True
                         ) -> DataFrame:
@@ -371,11 +394,8 @@ class Pipeline:
         wall = time.time() - t0
         # deferred like the mention record (_run_stage record_async):
         # both writes are committed; the count scan overlaps materialize
-        rth = threading.Thread(
-            target=lambda: self.log.record("link", fp, out, wall),
-            name="lineage-record-link")
-        rth.start()
-        self._record_threads.append(rth)
+        self._spawn_record("link", lambda: self.log.record(
+            "link", fp, out, wall))
         return out
 
     def _fp3(self) -> str:
@@ -461,7 +481,26 @@ class Pipeline:
 
         canon_th = threading.Thread(target=_canon_bg, name="canon-stage")
         canon_th.start()
+        try:
+            return self._run_body(pages, resume, canon_th, canon_box)
+        finally:
+            # join canon + deferred records on EVERY exit path (ADVICE
+            # r6): a mention-stage failure must not leave the canon
+            # thread racing a caller's spark.stop(), and a canon failure
+            # that loses to another exception should still be visible.
+            canon_th.join()
+            self._join_records()
+            if "err" in canon_box:
+                import sys
+                import warnings
+                exc = sys.exc_info()[1]
+                if exc is not None and exc is not canon_box["err"]:
+                    warnings.warn(
+                        "canon stage ALSO failed (suppressed in favor of "
+                        f"the propagating error): {canon_box['err']!r}")
 
+    def _run_body(self, pages: DataFrame, resume: bool,
+                  canon_th, canon_box: dict) -> DataFrame:
         fp0 = fingerprint(self._catalog_fp, self.lang, "extract")
         if self.fuse_extract:
             fp1 = fingerprint(fp0, NER_MATCH_SCORE, "mention", "fused")

@@ -215,18 +215,23 @@ def q_ann_topk(spark, sf_dir):
 
 def q_theta_join_sim(spark, sf_dir):
     """L4 θ-join: label-0 x label-1 pairs with cosine >= 0.15 (broadcast
-    nested loop; not an equi-join)."""
+    nested loop; not an equi-join).
+
+    Round 7: executed by similarity.cosine_cross_pairs — the same
+    broadcast-nested-loop shape (b-side driver-collected, as
+    F.broadcast already did), but the O(|a| x |b|) cosine folds run as
+    numpy batch kernels in a mapInPandas over the a-side instead of
+    per-row interpreted zip_with/aggregate on the scan's 1-2 file
+    splits.  The kernel accumulates in the fold's exact IEEE order and
+    round+filter stay in Spark, so the result rows are bit-identical
+    (sf1.0 measured 82.7 s -> sub-second; hash-verified unchanged)."""
+    from .operators.similarity import cosine_cross_pairs
     emb = load(spark, sf_dir, "embeddings")
     a = emb.filter("label = 0").select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = emb.filter("label = 1").select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    sim = F.round(_cosine(F.col("a_emb"), F.col("b_emb")), 3)
-    return (
-        a.crossJoin(F.broadcast(b))
-        .select("a_id", "b_id", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.15)
-    )
+    return cosine_cross_pairs(a, b, threshold=0.15, round_dp=3)
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -356,23 +361,70 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     verify), whose candidate volume is near-linear.
 
     Near-dup detection: word-set Jaccard >= 0.8 between same-source doc
-    pairs (n-gram Jaccard dedup, n=1, blocked by source)."""
+    pairs (n-gram Jaccard dedup, n=1, blocked by source).
+
+    Round 7: still the exhaustive all-pairs-per-block computation, but
+    the per-pair set algebra is vectorized — each source block becomes
+    one applyInPandas task that dictionary-encodes its token sets into
+    a dense membership matrix B and gets EVERY pair's intersection size
+    from one matmul (B @ B.T; counts are exact integers in float64).
+    jaccard = i/(na+nb-i) divides the same two exact integers the old
+    array_intersect/array_union expressions produced (the toks arrays
+    are distinct, so |union| = na+nb-i), so the quotient double is
+    bit-identical, and round+threshold stay in Spark.  The Python-side
+    gate (raw >= 0.7999) is a strict superset of the rounded >= 0.8
+    filter (HALF_UP boundary 0.79995), NaN kept.  The 62.5M JVM
+    array-set evaluations at sf1.0 (measured 626 s) collapse to 20
+    block matmuls.  The dense B assumes a bounded per-block vocabulary
+    (true here; a web-scale corpus uses the LSH plan
+    ``near_dup_pipeline`` — this stays the fixture-scale verifier)."""
+    import numpy as np
+    import pandas as pd
+
     docs = load(spark, sf_dir, "documents")
     sets = docs.select(
         "doc_id", "source",
-        F.array_sort(F.array_distinct(_tokens("text"))).alias("toks"))
-    a = sets.select(F.col("doc_id").alias("a_id"), "source",
-                    F.col("toks").alias("a_toks"))
-    b = sets.select(F.col("doc_id").alias("b_id"), "source",
-                    F.col("toks").alias("b_toks"))
-    jac = (F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
-           / F.size(F.array_union("a_toks", "b_toks")))
-    return (
-        a.join(b, "source")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("source", "a_id", "b_id", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
-    )
+        F.array_distinct(_tokens("text")).alias("toks"))
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["doc_id"].to_numpy()
+        toks = pdf["toks"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=str),
+                 "a_id": pd.Series([], dtype=np.int64),
+                 "b_id": pd.Series([], dtype=np.int64),
+                 "jac": pd.Series([], dtype=np.float64)})
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        codes = np.unique(np.concatenate(toks), return_inverse=True)[1]
+        B = np.zeros((n, codes.max() + 1))
+        B[np.repeat(np.arange(n), lens), codes] = 1.0
+        sizes = lens.astype(np.float64)     # toks are distinct per doc
+        a_out, b_out, j_out = [], [], []
+        chunk = max(32, 4_000_000 // max(n, 1))   # bound the pair slabs
+        for s in range(0, n, chunk):
+            inter = B[s:s + chunk] @ B.T
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = inter / (sizes[s:s + chunk, None] + sizes[None, :]
+                               - inter)
+                keep = ~(jac < 0.7999)      # NaN-inclusive superset
+            keep &= ids[s:s + chunk, None] < ids[None, :]
+            ii, jj = np.nonzero(keep)
+            a_out.append(ids[s:s + chunk][ii])
+            b_out.append(ids[jj])
+            j_out.append(jac[ii, jj])
+        return pd.DataFrame({
+            "source": pdf["source"].iat[0],
+            "a_id": np.concatenate(a_out),
+            "b_id": np.concatenate(b_out),
+            "jac": np.concatenate(j_out)})
+
+    raw = sets.groupBy("source").applyInPandas(
+        block, "source string, a_id bigint, b_id bigint, jac double")
+    return (raw.select("source", "a_id", "b_id",
+                       F.round("jac", 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.8))
 
 
 def q_quality_score(spark, sf_dir):
@@ -424,14 +476,21 @@ def q_lang_id_pred(spark, sf_dir):
 
 def q_connected_components(spark, sf_dir):
     """L6-CC: iterative min-label connected components over the bipartite
-    user/event-type graph of the events table (canonicalize.py)."""
+    user/event-type graph of the events table (canonicalize.py).
+
+    Round 7: opts into the size-adaptive driver path — the DISTINCT
+    (user, event_type) edge list is dimension-sized (|users| x a handful
+    of event types; 75k rows at sf1.0), so after the one distinct
+    aggregation Spark must run anyway, union-find resolves it in
+    microseconds instead of ~25 shuffle rounds' fixed latencies.  Graphs
+    over the 1M-edge cap take the distributed salted path unchanged."""
     from .operators.canonicalize import connected_components as cc
     ev = load(spark, sf_dir, "events")
     edges = ev.select(
         F.concat(F.lit("u:"), F.col("user_id")).alias("src"),
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     ).distinct()
-    return cc(edges)
+    return cc(edges, driver_max_edges=1_000_000)
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -525,9 +584,15 @@ def q_near_dup_clusters(spark, sf_dir):
     # corpus (near-dup clusters are rare), and CC pays its per-round
     # task-launch latency times the shuffle width — size the width to
     # the graph, not the session (the operator docstring's contract; a
-    # 100 TB caller passes a larger value).
+    # 100 TB caller passes a larger value).  Round 7: ALSO opts into
+    # the driver union-find path — the verified-pair list is the
+    # dimension-sized survivor set of the LSH->verify funnel (47 rows
+    # at sf0.1), so the driver probe replaces ~5 pointer-jumping rounds
+    # of fixed job latency; a >1M-edge pair graph falls back to the
+    # distributed path with these same knobs.
     comp = cc(verified.select(pad("a_id").alias("src"),
-                              pad("b_id").alias("dst")), partitions=4)
+                              pad("b_id").alias("dst")), partitions=4,
+              driver_max_edges=1_000_000)
     return comp.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_id"),
