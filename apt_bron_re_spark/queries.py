@@ -36,6 +36,49 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Inputs smaller than this get their parquet footers inspected for the
+# unsplittable-scan guard below; bigger inputs skip both the metadata
+# read and the repartition (web-scale inputs always have enough row
+# groups, and footer-listing millions of files is driver-side work the
+# guard must never add).
+_SPREAD_MAX_BYTES = 256 * 1024 * 1024
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + the optimization guide §2.5 unsplittable-input fix.
+
+    A parquet scan parallelizes across ROW GROUPS, not byte splits: the
+    bench's sf tables are single-row-group single files, so every
+    downstream per-row expression (md5 shingle hashing, simhash bit
+    sums, fingerprint UDFs) runs on ONE task regardless of split math —
+    measured as the permanent ``(31 + 1)/32`` straggler that made
+    minhash signatures 9 s at sf1.0.  When the driver-side footer
+    metadata (milliseconds, and only consulted for inputs under
+    _SPREAD_MAX_BYTES) shows fewer row groups than half the session
+    cores, repartition once right after the read so the heavy per-row
+    stage spreads.  At scale the gate never fires — large inputs carry
+    hundreds of row groups and take the plain scan with no extra
+    shuffle."""
+    df = load(spark, sf_dir, name)
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+        path = f"{sf_dir}/{name}.parquet"
+        files = ([os.path.join(path, f) for f in os.listdir(path)
+                  if f.endswith(".parquet")]
+                 if os.path.isdir(path) else [path])
+        if sum(os.path.getsize(f) for f in files) > _SPREAD_MAX_BYTES:
+            return df
+        row_groups = sum(pq.ParquetFile(f).num_row_groups for f in files)
+        cores = spark.sparkContext.defaultParallelism
+        if row_groups < max(2, cores // 2):
+            return df.repartition(cores)
+    except Exception:
+        pass          # metadata unreadable -> plain scan, never fail
+    return df
+
+
 def _tokens(col):
     """Split the space-separated corpus text into tokens."""
     return F.split(F.col(col), " ")
@@ -497,20 +540,20 @@ def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH candidate pairs over documents (dedup.py) — md5-based
     shingle hashes + MLlib-prime permutations, value-matched by the oracle."""
     from .operators.dedup import minhash_candidates
-    return minhash_candidates(load(spark, sf_dir, "documents"))
+    return minhash_candidates(load_spread(spark, sf_dir, "documents"))
 
 
 def q_simhash_docs(spark, sf_dir):
     """60-bit SimHash per document (dedup.simhash)."""
     from .operators.dedup import simhash
-    return simhash(load(spark, sf_dir, "documents"))
+    return simhash(load_spread(spark, sf_dir, "documents"))
 
 
 def q_shared_passages(spark, sf_dir):
     """Fingerprint anchors (Rabin-Karp 16-char windows, h%32==0) shared
     between docs (textstats.shared_passage_pairs, min_shared=2)."""
     from .operators.textstats import shared_passage_pairs
-    return shared_passage_pairs(load(spark, sf_dir, "documents"),
+    return shared_passage_pairs(load_spread(spark, sf_dir, "documents"),
                                 min_shared=2)
 
 
@@ -556,7 +599,7 @@ def q_near_dup_pipeline(spark, sf_dir):
     n-gram-Jaccard verification (scale path; replaces the blocked all-pairs
     ngram_jaccard_dups as the recommended plan)."""
     from .operators.dedup import minhash_candidates, ngram_jaccard_pairs
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     cands = minhash_candidates(docs).select("a_id", "b_id")
     return ngram_jaccard_pairs(docs, cands, threshold=0.8)
 
@@ -576,7 +619,7 @@ def q_near_dup_clusters(spark, sf_dir):
     so the operator's string min-label equals the numeric min."""
     from .operators.canonicalize import connected_components as cc
     from .operators.dedup import minhash_candidates, ngram_jaccard_pairs
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     cands = minhash_candidates(docs).select("a_id", "b_id")
     verified = ngram_jaccard_pairs(docs, cands, threshold=0.8)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
