@@ -110,12 +110,17 @@ def main() -> None:
         [],
     ))
 
-    # 7. theta join: broadcast nested loop
+    # 7. theta join (round 7): the broadcast-nested-loop SHAPE survives —
+    # b-side driver-collected, a-side streamed — but the per-pair cosine
+    # folds run as numpy batch kernels in ONE MapInPandas node
+    # (bit-identical accumulation order; similarity.cosine_cross_pairs),
+    # so the plan must carry MapInPandas and neither a JVM BNLJ nor a
+    # cartesian product
     p = plan_of(SPARK_QUERIES["theta_join_sim"](spark, SF_DIR))
     checks.append((
         "theta_join_sim", p,
-        ["BroadcastNestedLoopJoin"],
-        [],
+        ["MapInPandas"],
+        ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"],
     ))
 
     # 8. doc_lengths: regexp_count stays in codegen, no array blowup
@@ -222,24 +227,29 @@ def main() -> None:
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
     ))
 
-    # 15. IVF ANN: centroid assignment is broadcast x algebraic argmax
-    # (BNLJ against the tiny centroid table is the intended shape);
-    # no cartesian product, no Python.  The argmax-as-aggregate shape is
-    # pinned by the max(struct) aggregate expression itself ("max(s"),
-    # not a generic Aggregate node that any groupBy would match.
+    # 15. IVF ANN (round 7): centroid assignment is ONE ArrowEvalPython
+    # projection (integer-exact numpy matmul argmax per Arrow batch —
+    # similarity.ivf_assign; replaces the n x k BNLJ + max(struct)
+    # aggregation that was 120 of ann_ivf_topk's 120 s at sf1.0); the
+    # query-probe crossJoin keeps its tiny broadcast BNLJ.  No cartesian
+    # product, no row-at-a-time Python.
     p = plan_of(SPARK_QUERIES["ann_ivf_topk"](spark, SF_DIR))
     checks.append((
         "ann_ivf_topk (sampled-centroid IVF)", p,
-        ["BroadcastNestedLoopJoin", "max(s"],
-        ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"],
+        ["ArrowEvalPython", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "BatchEvalPython"],
     ))
 
-    # 16. embedding near-dup: Arrow signature UDF + bucket equi-join,
-    # never all-pairs
+    # 16. embedding near-dup (round 7): the registry row runs the
+    # WIDE-bucket regime (20x4 — candidates ~ all pairs), which now takes
+    # the dense MapInPandas candidate kernel + the unchanged exact JVM
+    # verify joins; the narrow-bucket LSH equi-join path (the 100 TB
+    # regime) is pinned separately by the dense-vs-join parity test in
+    # tests/test_r07_vectorized.py.  Never a cartesian product or BNLJ.
     p = plan_of(SPARK_QUERIES["embedding_near_dups"](spark, SF_DIR))
     checks.append((
         "embedding_near_dups (sign-LSH + exact verify)", p,
-        ["ArrowEvalPython"],
+        ["MapInPandas"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ))
 
