@@ -55,10 +55,28 @@ def _seq_dots(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
     accumulator sees the identical IEEE-754 operation sequence and the
     result is bit-for-bit the fold's.  (A BLAS matmul sums in a
     different order — fine for prefilters with a margin, not for values
-    that feed a round()+threshold compare directly.)"""
-    out = np.zeros((A.shape[0], B.shape[0]))
-    for k in range(A.shape[1]):
-        out += np.multiply.outer(A[:, k], B[:, k])
+    that feed a round()+threshold compare directly.)
+
+    Tiled over (row, column) blocks so the accumulator slab stays
+    cache-resident across the dim-axis loop — blocking touches only
+    WHICH elements are computed together, never the per-element
+    operation order, so bit-exactness is preserved (pinned by the
+    old-vs-new parity test).  Naive full-width accumulation re-streams
+    an m x n slab from memory 64 times (~16 bytes x dim x pairs of
+    traffic); the 256x4096 tiles cut that to one pass."""
+    m, d = A.shape
+    n = B.shape[0]
+    AT = np.ascontiguousarray(A.T)          # (d, m): contiguous k-slices
+    BT = np.ascontiguousarray(B.T)
+    out = np.empty((m, n))
+    MB, NB = 256, 4096
+    for i in range(0, m, MB):
+        for j in range(0, n, NB):
+            acc = np.zeros((min(MB, m - i), min(NB, n - j)))
+            for k in range(d):
+                acc += np.multiply.outer(AT[k, i:i + MB],
+                                         BT[k, j:j + NB])
+            out[i:i + MB, j:j + NB] = acc
     return out
 
 
@@ -309,14 +327,19 @@ def _near_pairs_dense(vectors: DataFrame, dim: int, threshold: float,
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.array([r[vec_col] for r in rows], dtype=np.float64)
     bk = buckets_of(M)
+    # PRE-normalized rows: the prefilter cosine is then ONE matmul per
+    # slab instead of matmul + norm-outer + divide (three full m x n
+    # passes -> one; the prefilter is margin-gated, so the ~dim*eps
+    # rounding difference vs dividing afterwards is irrelevant).
+    # Zero-norm rows become NaN rows -> kept by the NaN-inclusive gate.
     with np.errstate(invalid="ignore", divide="ignore"):
-        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        Mn = M / np.sqrt(np.einsum("ij,ij->i", M, M))[:, None]
     gate = threshold - 1.1e-4
-    bc = spark.sparkContext.broadcast((ids, M, bk, norms))
+    bc = spark.sparkContext.broadcast((ids, Mn, bk))
     id_type = vectors.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        ids_, M_, bk_, norms_ = bc.value
+        ids_, Mn_, bk_ = bc.value
         n = len(ids_)
         # bound each worker's m x n cosine slab to ~128 MB
         chunk = max(16, 16_000_000 // max(n, 1))
@@ -327,16 +350,21 @@ def _near_pairs_dense(vectors: DataFrame, dim: int, threshold: float,
             A_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             aid_all = pdf[id_col].to_numpy()
             abk_all = buckets_of(A_all)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                An_all = A_all / np.sqrt(
+                    np.einsum("ij,ij->i", A_all, A_all))[:, None]
             for s in range(0, len(aid_all), chunk):
-                A = A_all[s:s + chunk]
                 aid = aid_all[s:s + chunk]
                 abk = abk_all[s:s + chunk]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    a_norm = np.sqrt(np.einsum("ij,ij->i", A, A))
-                    cos = (A @ M_.T) / (a_norm[:, None] * norms_[None, :])
-                    cand = ~(cos < gate)      # NaN-inclusive superset
-                cand &= aid[:, None] < ids_[None, :]
-                ii, jj = np.nonzero(cand)
+                with np.errstate(invalid="ignore"):
+                    cos = An_all[s:s + chunk] @ Mn_.T
+                    # hit list FIRST (survivors are sparse); the a<b and
+                    # bucket predicates then run on the list, not the
+                    # full slab — two fewer full-matrix passes
+                    ii, jj = np.nonzero(~(cos < gate))
+                if ii.size:
+                    keep = aid[ii] < ids_[jj]
+                    ii, jj = ii[keep], jj[keep]
                 if ii.size:
                     # >=1 shared bucket — the LSH join's exact predicate
                     hit = (abk[ii] == bk_[jj]).any(axis=1)

@@ -209,7 +209,19 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shared_passage_pairs(docs: DataFrame, min_shared: int = 3,
                          text_col: str = "text") -> DataFrame:
     """Doc pairs sharing >= min_shared fingerprint anchors (equi-join on
-    anchor, then count per pair — no quadratic scan)."""
+    anchor, then count per pair — no quadratic scan).
+
+    Round 7 kept the JVM join after MEASURING the alternative: a
+    list-shape rewrite (collect_set per anchor -> vectorized
+    np.triu_indices pair generation in mapInPandas -> balanced count
+    groupBy) removes the hub-anchor join-task skew (sf1.0: two ~2,850-
+    doc anchors put 16M of the 39.5M pair rows into two tasks), but it
+    ships every generated pair across the Arrow boundary — 13.1 s vs
+    the join's 3.9-7.6 s at sf1.0 (the optimization guide's "every
+    Python path pays for moving data" warning, measured).  The pair
+    volume itself (sum of c^2 over anchor frequencies) is inherent to
+    the query's semantics, so the join stays; the experiment and
+    numbers are recorded in OPTIMIZATION_r07.md."""
     fp = fingerprints(docs, text_col).select(
         "doc_id", F.explode("anchors").alias("anchor"))
     a = fp.select(F.col("doc_id").alias("a_id"), "anchor")
