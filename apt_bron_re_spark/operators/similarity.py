@@ -120,7 +120,9 @@ def cosine_cross_pairs(a: DataFrame, b: DataFrame, threshold: float,
     the query completes with the finite pairs.
     """
     spark = a.sparkSession
-    b_rows = b.select(b_id, b_vec).collect()
+    # null b-side vectors produced null cosines (dropped) in the old
+    # plan; drop them up front so the kernel sees a clean matrix
+    b_rows = b.select(b_id, b_vec).where(F.col(b_vec).isNotNull()).collect()
     id_type = a.schema[a_id].dataType.simpleString()
     out_schema = f"{a_id} {id_type}, {b_id} {id_type}, cos_raw double"
     if not b_rows:
