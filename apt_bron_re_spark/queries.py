@@ -425,7 +425,15 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents")
-    sets = docs.select(
+    # Pin the block layout with REPARTITION_BY_NUM *before* tokenizing:
+    # the explicit HashPartitioning(source, 256) satisfies the
+    # applyInPandas clustering requirement (no second exchange), AQE
+    # cannot coalesce a numbered repartition (the byte-light but
+    # compute-heavy blocks otherwise collapse onto ~6 tasks under the
+    # 64 MB advisory size), and tokenization runs in the 256-task stage
+    # instead of the unsplittable 1-2-split scan.  20 source keys over
+    # 256 slots hash near-collision-free; empty partitions are no-ops.
+    sets = docs.repartition(256, F.col("source")).select(
         "doc_id", "source",
         F.array_distinct(_tokens("text")).alias("toks"))
 
